@@ -1,0 +1,127 @@
+"""Multilinear PCS over univariate KZG (Mercury-style).
+
+Counterpart of `/root/reference/pcs/src/mlpcs.rs`: the multilinear polynomial
+P (2^n hypercube evaluations, used as univariate coefficients) is committed
+with KZG; an evaluation P(r) = v is the inner-product claim <f, P_r> with
+  P_r(x) = prod_i (r_i x^{2^i} + 1 - r_i).
+
+TPU-first shortcut (transcript-identical): the coefficient vector of P_r *is*
+the eq(. , r) tensor table (coeff of x^j = eq(bin(j), r)), so we build it with
+the O(2^n) doubling/tensor construction instead of the reference's n-point
+evaluation + IFFT (`mlpcs.rs:68-78`) -- only S-commitment and openings reach
+the transcript, and those are unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..ec import curve
+from ..fields.bn254 import R
+from ..fields.scalar import inv
+from ..transcript.transcript import Transcript
+from . import EvaluationClaim
+from .ipa import compute_s_polynomial
+from .kzg import KZG, KZGOpeningProof
+
+
+def eval_pr(r: list[int], x: int) -> int:
+    """P_r(x) = prod_i (r_i x^{2^i} + 1 - r_i), O(n) (`mlpcs.rs:52-63`)."""
+    result = 1
+    x_pow = x % R
+    for r_i in r:
+        result = result * ((r_i * x_pow + 1 - r_i) % R) % R
+        x_pow = x_pow * x_pow % R
+    return result
+
+
+@dataclass
+class MLEvalProof:
+    """`MLEvalProof` (`mlpcs.rs:32-44`)."""
+
+    evaluation_point: list[int]
+    evaluation: int
+    s_comm: curve.Jacobian
+    poly_opening: KZGOpeningProof
+    poly_opening_inv: KZGOpeningProof
+    s_opening: KZGOpeningProof
+    s_opening_inv: KZGOpeningProof
+
+    # MultilinearPCSProof interface (`pcs/src/lib.rs:15-24`)
+    def point(self) -> list[int]:
+        return list(self.evaluation_point)
+
+    def evaluation_claim(self) -> EvaluationClaim:
+        return EvaluationClaim(point=list(self.evaluation_point),
+                               evaluation=self.evaluation)
+
+
+class MultilinearPCS:
+    """The `MultilinearPCS` impl for KZG (`mlpcs.rs:174-207`): the object the
+    whole upper stack is generic over."""
+
+    def __init__(self, kzg: KZG):
+        self.kzg = kzg
+        self.engine = kzg.engine
+
+    def max_degree(self) -> int:
+        return self.kzg.max_degree
+
+    def commit(self, poly) -> curve.Jacobian:
+        return self.kzg.commit(poly)
+
+    def open(self, poly, eval_point: list[int], transcript: Transcript) -> MLEvalProof:
+        """`MLEvalProof::prove` (`mlpcs.rs:83-124`).  ASSUMES the commitment
+        is already in the transcript."""
+        engine = self.engine
+        pr = engine.eq_table(eval_point)  # == compute_pr coefficients
+        evaluation = engine.inner(poly, pr)
+
+        s_poly = compute_s_polynomial(engine, poly, pr)
+        s_commitment = self.kzg.commit(s_poly)
+
+        transcript.append_field_vec(eval_point)
+        transcript.append_field(evaluation)
+        transcript.append_g1(s_commitment)
+
+        r = transcript.draw_field_element()
+        r_inv = inv(r, R)
+
+        poly_opening = self.kzg.open(poly, r)
+        poly_opening_inv = self.kzg.open(poly, r_inv)
+        s_opening = self.kzg.open(s_poly, r)
+        s_opening_inv = self.kzg.open(s_poly, r_inv)
+
+        return MLEvalProof(
+            evaluation_point=[x % R for x in eval_point],
+            evaluation=evaluation,
+            s_comm=s_commitment,
+            poly_opening=poly_opening,
+            poly_opening_inv=poly_opening_inv,
+            s_opening=s_opening,
+            s_opening_inv=s_opening_inv,
+        )
+
+    def verify(self, commitment: curve.Jacobian, proof: MLEvalProof,
+               transcript: Transcript) -> bool:
+        """`MLEvalProof::verify` (`mlpcs.rs:126-161`)."""
+        transcript.append_field_vec(proof.evaluation_point)
+        transcript.append_field(proof.evaluation)
+        transcript.append_g1(proof.s_comm)
+
+        r = transcript.draw_field_element()
+        r_inv = inv(r, R)
+
+        if not (self.kzg.verify_opening(commitment, proof.poly_opening)
+                and self.kzg.verify_opening(commitment, proof.poly_opening_inv)
+                and self.kzg.verify_opening(proof.s_comm, proof.s_opening)
+                and self.kzg.verify_opening(proof.s_comm, proof.s_opening_inv)):
+            return False
+
+        pr_r = eval_pr(proof.evaluation_point, r)
+        pr_r_inv = eval_pr(proof.evaluation_point, r_inv)
+
+        lhs = (proof.poly_opening.y * pr_r_inv + proof.poly_opening_inv.y * pr_r) % R
+        rhs = (r * proof.s_opening.y + r_inv * proof.s_opening_inv.y
+               + 2 * proof.evaluation) % R
+        return lhs == rhs

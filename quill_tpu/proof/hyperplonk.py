@@ -1,0 +1,357 @@
+"""HyperPlonk multi-table SNARK: preprocess / prove / verify.
+
+Counterpart of `/root/reference/hyperplonk/src/proof/proof.rs`.  One
+transcript (domain b"hyperplonk_proof") spans all traces; per trace the prover
+runs a zero-check over the alpha-batched constraint expressions (log2(rows)
+variables), a permutation check over the whole rows*cols-cell trace as one
+polynomial, and opens the witness / public columns / id / permutation at the
+returned points.  Transcript event order matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields.bn254 import R
+from ..pcs import EvaluationClaim
+from ..piops import permutation_check, zerocheck
+from ..piops.virtual_poly import Const, Mul, Store
+from ..transcript.transcript import Transcript
+from .circuit import Circuit
+
+DOMAIN = b"hyperplonk_proof"
+
+
+@dataclass
+class TraceProof:
+    """`TraceProof` (`proof.rs:17-25`)."""
+
+    zero_check_proof: zerocheck.ZeroCheckProof
+    permutation_check_proof: permutation_check.PermutationCheckProof
+    openings_zero_check: list
+    openings_public: list
+    opening_id: object
+    opening_permutation: object
+    opening_permutation_trace: object
+
+
+@dataclass
+class HyperPlonkProof:
+    """`HyperPlonkProof` (`proof.rs:27-30`)."""
+
+    witness_commitment: list
+    trace_proofs: list[TraceProof]
+
+
+@dataclass
+class TraceVK:
+    """`TraceVK` (`proof.rs:32-37`)."""
+
+    circuit: Circuit
+    public_columns_commitments: list
+    id_commitment: object
+    permutation_commitment: object
+
+
+@dataclass
+class TracePK:
+    """`TracePK` (`proof.rs:50-54`)."""
+
+    id_poly: object          # engine vec, rows*cols cells
+    permutation_poly: object
+    public_values: list      # engine vecs, padded to rows*cols
+
+
+@dataclass
+class HyperPlonkVK:
+    """`HyperPlonkVK` (`proof.rs:56-58`)."""
+
+    trace_vks: list[TraceVK]
+
+
+@dataclass
+class TraceWitness:
+    """`TraceWitness` (`proof.rs:60`): list of witness columns."""
+
+    columns: list[list[int]]
+
+
+class HyperPlonk:
+    """`HyperPlonk { trace_vks, trace_pks }` (`proof.rs:12-15`)."""
+
+    def __init__(self, trace_vks: list[TraceVK], trace_pks: list[TracePK], pcs):
+        self.trace_vks = trace_vks
+        self.trace_pks = trace_pks
+        self.pcs = pcs
+
+    # -- preprocess ---------------------------------------------------------
+
+    @staticmethod
+    def _preprocess_trace(circuit: Circuit, pcs) -> tuple[TracePK, TraceVK]:
+        """`preprocess_trace` (`proof.rs:63-122`)."""
+        engine = pcs.engine
+        rows, cols = circuit.num_rows(), circuit.num_cols()
+        assert rows & (rows - 1) == 0, "Number of rows must be a power of two"
+        assert cols & (cols - 1) == 0, "Number of columns must be a power of two"
+        trace_size = rows * cols
+
+        public_values = []
+        public_commitments = []
+        for col in circuit.public_values():
+            assert len(col) == rows, "Public column length mismatch"
+            padded = list(col) + [0] * (trace_size - rows)
+            vec = engine.vec_from_ints(padded)
+            public_values.append(vec)
+            public_commitments.append(pcs.commit(vec))
+
+        id_evals, permutation_evals = circuit.permutation()
+        assert len(id_evals) == trace_size, "ID polynomial length mismatch"
+        assert len(permutation_evals) == trace_size, \
+            "Permutation polynomial length mismatch"
+        id_vec = engine.vec_from_ints(id_evals)
+        perm_vec = engine.vec_from_ints(permutation_evals)
+
+        id_commitment = pcs.commit(id_vec)
+        permutation_commitment = pcs.commit(perm_vec)
+
+        vk = TraceVK(circuit=circuit,
+                     public_columns_commitments=public_commitments,
+                     id_commitment=id_commitment,
+                     permutation_commitment=permutation_commitment)
+        pk = TracePK(id_poly=id_vec, permutation_poly=perm_vec,
+                     public_values=public_values)
+        return pk, vk
+
+    @staticmethod
+    def preprocess(circuits: list[Circuit], pcs) -> "HyperPlonk":
+        """`preprocess` (`proof.rs:124-137`)."""
+        pks, vks = [], []
+        for circuit in circuits:
+            pk, vk = HyperPlonk._preprocess_trace(circuit, pcs)
+            pks.append(pk)
+            vks.append(vk)
+        return HyperPlonk(trace_vks=vks, trace_pks=pks, pcs=pcs)
+
+    def to_vk(self) -> HyperPlonkVK:
+        return HyperPlonkVK(trace_vks=list(self.trace_vks))
+
+    # -- prove --------------------------------------------------------------
+
+    def _prove_trace(self, witness: list[list[int]], full_witness,
+                     transcript: Transcript, pk: TracePK, circuit: Circuit
+                     ) -> TraceProof:
+        """`prove_trace` (`proof.rs:145-237`)."""
+        pcs = self.pcs
+        engine = pcs.engine
+        rows, cols = circuit.num_rows(), circuit.num_cols()
+        log2_rows = rows.bit_length() - 1
+        log2_cols = cols.bit_length() - 1
+
+        store = Store(engine, log2_rows)
+        for column in witness:
+            store.allocate_polynomial(column)
+        for public in circuit.public_values():
+            store.allocate_polynomial(public)
+
+        # alpha-batch all constraints (`proof.rs:166-175`)
+        exprs = circuit.zero_check_expressions()
+        alpha = transcript.draw_field_element()
+        zero_check_expr = Const(0)
+        a = 1
+        for expr in exprs:
+            zero_check_expr = zero_check_expr + Const(a) * expr
+            a = a * alpha % R
+
+        zero_check_virtual = store.new_virtual_from_expr(zero_check_expr)
+        zero_check_proof, zc_claim = zerocheck.prove(
+            store, zero_check_virtual, transcript)
+
+        # permutation check on the whole trace as one polynomial
+        # (`proof.rs:183-196`)
+        store2 = Store(engine, log2_rows + log2_cols)
+        witness_ref = store2.allocate_polynomial(full_witness)
+        witness_virtual = store2.new_virtual_from_input(witness_ref)
+
+        perm_proof, perm_point = permutation_check.prove(
+            store2, witness_virtual, witness_virtual,
+            pk.id_poly, pk.permutation_poly, transcript, pcs)
+
+        # witness openings at the zero-check point extended with column bits
+        # (`proof.rs:202-210`)
+        openings_zero_check = []
+        for col in range(cols):
+            point = list(zc_claim.point)
+            for i in range(log2_cols):
+                point.append((col >> i) & 1)
+            openings_zero_check.append(pcs.open(full_witness, point, transcript))
+
+        # public-column openings at the zero-check point (`proof.rs:213-219`)
+        openings_public = []
+        publics = circuit.public_values()
+        for i in range(circuit.num_public_columns()):
+            vec = engine.vec_from_ints(publics[i])
+            openings_public.append(pcs.open(vec, zc_claim.point, transcript))
+
+        # id / permutation / trace openings at the permutation-check point
+        # (`proof.rs:222-226`)
+        opening_id = pcs.open(pk.id_poly, perm_point, transcript)
+        opening_permutation = pcs.open(pk.permutation_poly, perm_point, transcript)
+        opening_permutation_trace = pcs.open(full_witness, perm_point, transcript)
+
+        return TraceProof(
+            zero_check_proof=zero_check_proof,
+            permutation_check_proof=perm_proof,
+            openings_zero_check=openings_zero_check,
+            openings_public=openings_public,
+            opening_id=opening_id,
+            opening_permutation=opening_permutation,
+            opening_permutation_trace=opening_permutation_trace,
+        )
+
+    def prove(self, witness_traces: list[TraceWitness]) -> HyperPlonkProof:
+        """`prove` (`proof.rs:239-301`)."""
+        pcs = self.pcs
+        engine = pcs.engine
+        transcript = Transcript(DOMAIN)
+
+        trace_commitments = []
+        full_traces = []
+        for trace_witness, vk in zip(witness_traces, self.trace_vks):
+            witness = trace_witness.columns
+            circuit = vk.circuit
+            assert len(witness) == circuit.num_cols(), "Witness columns length mismatch"
+            for col in witness:
+                assert len(col) == circuit.num_rows(), \
+                    "Witness column row length mismatch"
+
+            circuit.check_constraints(witness)
+
+            # column-major flattening (`proof.rs:270`)
+            flat: list[int] = []
+            for col in witness:
+                flat.extend(col)
+            full_witness = engine.vec_from_ints(flat)
+
+            witness_commitment = pcs.commit(full_witness)
+            transcript.append_g1(witness_commitment)
+
+            trace_commitments.append(witness_commitment)
+            full_traces.append(full_witness)
+
+        trace_proofs = []
+        for i, trace_witness in enumerate(witness_traces):
+            trace_proofs.append(self._prove_trace(
+                trace_witness.columns, full_traces[i], transcript,
+                self.trace_pks[i], self.trace_vks[i].circuit))
+
+        return HyperPlonkProof(witness_commitment=trace_commitments,
+                               trace_proofs=trace_proofs)
+
+
+# -- verification ------------------------------------------------------------
+
+
+def _verify_opening(comm, proof, expected_point, expected_num_vars, pcs,
+                    transcript) -> bool:
+    """`verify_opening` (`proof.rs:305-325`)."""
+    if len(proof.point()) != expected_num_vars:
+        return False
+    if expected_point is not None and proof.point() != expected_point:
+        return False
+    return pcs.verify(comm, proof, transcript)
+
+
+def _get_and_verify_column_evaluations(vk: TraceVK, pcs, proof: TraceProof,
+                                       witness_commitment, zc_claim,
+                                       log2_cols, log2_rows, transcript
+                                       ) -> list[int]:
+    """`get_and_verify_column_evaluations` (`proof.rs:330-385`)."""
+    if len(zc_claim.point) != log2_rows:
+        raise ValueError("Zero check evaluation claim point length mismatch")
+
+    points = []
+    for col in range(vk.circuit.num_cols()):
+        point = list(zc_claim.point)
+        for i in range(log2_cols):
+            point.append((col >> i) & 1)
+        points.append(point)
+
+    col_evaluations = []
+    for i, opening in enumerate(proof.openings_zero_check):
+        if opening.point() != points[i]:
+            raise ValueError("Zero check opening point mismatch")
+        if not pcs.verify(witness_commitment, opening, transcript):
+            raise ValueError("Zero check opening verification failed")
+        col_evaluations.append(opening.evaluation)
+
+    for i, op in enumerate(proof.openings_public):
+        if not _verify_opening(vk.public_columns_commitments[i], op,
+                               list(zc_claim.point), log2_rows, pcs, transcript):
+            raise ValueError("Public opening verification failed")
+        col_evaluations.append(op.evaluation)
+
+    return col_evaluations
+
+
+def _recover_zerocheck_expr_evaluation(vk: TraceVK, col_evaluations, alpha) -> int:
+    """`recover_zerocheck_expr_evaluation` (`proof.rs:387-402`)."""
+    total = 0
+    a = 1
+    for expr in vk.circuit.zero_check_expressions():
+        total = (total + a * expr.evaluate(col_evaluations)) % R
+        a = a * alpha % R
+    return total
+
+
+def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
+                        proof: TraceProof, transcript) -> None:
+    """`verify_trace_proof` (`proof.rs:404-491`)."""
+    alpha = transcript.draw_field_element()
+
+    zc_claim = zerocheck.verify(proof.zero_check_proof, transcript)
+    log2_cols = vk.circuit.num_cols().bit_length() - 1
+    log2_rows = vk.circuit.num_rows().bit_length() - 1
+
+    if len(zc_claim.point) != log2_rows:
+        raise ValueError("Zero check evaluation claim point length mismatch")
+
+    id_claim = proof.opening_id.evaluation_claim()
+    perm_claim = proof.opening_permutation.evaluation_claim()
+    trace_claim = proof.opening_permutation_trace.evaluation_claim()
+
+    permutation_check.verify(
+        proof.permutation_check_proof, transcript, pcs,
+        trace_claim, trace_claim, id_claim, perm_claim)
+
+    col_evaluations = _get_and_verify_column_evaluations(
+        vk, pcs, proof, witness_commitment, zc_claim, log2_cols, log2_rows,
+        transcript)
+
+    recomputed = _recover_zerocheck_expr_evaluation(vk, col_evaluations, alpha)
+    if recomputed != zc_claim.evaluation % R:
+        raise ValueError("Zero check evaluation mismatch")
+
+    if not _verify_opening(vk.id_commitment, proof.opening_id, None,
+                           log2_rows + log2_cols, pcs, transcript):
+        raise ValueError("ID commitment opening verification failed")
+    if not _verify_opening(vk.permutation_commitment, proof.opening_permutation,
+                           None, log2_rows + log2_cols, pcs, transcript):
+        raise ValueError("Permutation commitment opening verification failed")
+    if not _verify_opening(witness_commitment, proof.opening_permutation_trace,
+                           None, log2_rows + log2_cols, pcs, transcript):
+        raise ValueError("Permutation trace commitment opening verification failed")
+
+
+def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs) -> None:
+    """`HyperPlonkProof::verify` (`proof.rs:493-522`).  Raises ValueError on
+    failure."""
+    transcript = Transcript(DOMAIN)
+    for commitment in proof.witness_commitment:
+        transcript.append_g1(commitment)
+
+    if len(vk.trace_vks) != len(proof.trace_proofs):
+        raise ValueError("Number of trace VKS and proofs mismatch")
+
+    for i in range(len(vk.trace_vks)):
+        _verify_trace_proof(proof.witness_commitment[i], vk.trace_vks[i],
+                            pcs, proof.trace_proofs[i], transcript)

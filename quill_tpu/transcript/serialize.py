@@ -58,16 +58,21 @@ def ser_dense_poly(coeffs) -> bytes:
 
 
 def ser_g1(point) -> bytes:
-    """Serialize a G1 point (our ec.curve AffinePoint / anything with
-    `.infinity`, `.x`, `.y` attributes) per ark-ec SW uncompressed layout."""
+    """Serialize a G1 point per ark-ec SW uncompressed layout.  Accepts our
+    `ec.curve` Jacobian (normalized first, matching arkworks projective
+    serialization) or Affine; coordinates may be ints or Fq wrappers."""
+    if hasattr(point, "to_affine"):
+        point = point.to_affine()
     if point.infinity:
         x_bytes = ser_field(0)
         y = bytearray(ser_field(0))
         y[-1] |= SW_POINT_AT_INFINITY
         return x_bytes + bytes(y)
-    x_bytes = ser_field(point.x)
-    y_bytes = bytearray(ser_field(point.y))
+    x = point.x.v if hasattr(point.x, "v") else int(point.x)
+    y = point.y.v if hasattr(point.y, "v") else int(point.y)
+    x_bytes = ser_field(x)
+    y_bytes = bytearray(ser_field(y))
     # SWFlags::from_y_coordinate: "negative" iff y > -y, i.e. y > p/2
-    if point.y > P - point.y:
+    if y > P - y:
         y_bytes[-1] |= SW_Y_IS_NEGATIVE
     return x_bytes + bytes(y_bytes)

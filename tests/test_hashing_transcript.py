@@ -1,0 +1,110 @@
+"""blake3 + serialization + transcript tests.
+
+The transcript chain is the bit-exactness backbone (SURVEY §2.3); blake3 is
+pinned against official test vectors, serialization against the ark-serialize
+0.5 layout.
+"""
+
+from quill_tpu.fields.bn254 import R
+from quill_tpu.hashing.blake3 import blake3_digest, blake3_xof
+from quill_tpu.transcript import serialize as ser
+from quill_tpu.transcript.transcript import Transcript
+
+
+def official_input(n: int) -> bytes:
+    # the official BLAKE3 test vectors use input bytes i % 251
+    return bytes(i % 251 for i in range(n))
+
+
+class TestBlake3:
+    def test_empty(self):
+        assert blake3_digest(b"").hex() == (
+            "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+
+    def test_len1(self):
+        assert blake3_digest(official_input(1)).hex() == (
+            "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213")
+
+    def test_multiblock_and_tree_regression(self):
+        # Pinned outputs of this implementation covering multi-block chunks
+        # (len 1024) and parent/tree nodes (len 3072); guards refactors.
+        assert blake3_digest(official_input(1024)).hex() == (
+            "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7")
+        assert blake3_digest(official_input(3072)).hex() == (
+            "b98cb0ff3623be03326b373de6b9095218513e64f1ee2edd2525c7ad1e5cffd2")
+
+    def test_xof_prefix_property(self):
+        full = blake3_xof(b"quill", 200)
+        assert full[:32] == blake3_digest(b"quill")
+        assert blake3_xof(b"quill", 48) == full[:48]
+
+
+class TestSerialize:
+    def test_usize(self):
+        assert ser.ser_usize(3) == (3).to_bytes(8, "little")
+
+    def test_field(self):
+        assert ser.ser_field(1) == b"\x01" + b"\x00" * 31
+        assert len(ser.ser_field(R - 1)) == 32
+
+    def test_field_vec(self):
+        out = ser.ser_field_vec([1, 2])
+        assert out[:8] == (2).to_bytes(8, "little")
+        assert len(out) == 8 + 64
+
+    def test_dense_poly_strips_trailing_zeros(self):
+        out = ser.ser_dense_poly([5, 0, 7, 0, 0])
+        assert out[:8] == (3).to_bytes(8, "little")
+        assert len(out) == 8 + 3 * 32
+        assert ser.ser_dense_poly([0, 0]) == (0).to_bytes(8, "little")
+
+    def test_g1(self):
+        from quill_tpu.ec.curve import g1_generator
+
+        g = g1_generator()
+        out = ser.ser_g1(g)
+        assert len(out) == 64
+        assert out[:32] == (1).to_bytes(32, "little")
+        # y = 2 < p/2 so no sign flag
+        assert out[32:] == (2).to_bytes(32, "little")
+        # infinity encoding
+        inf = g.add(g.neg())
+        assert inf.is_identity()
+        out = ser.ser_g1(inf)
+        assert out[:32] == b"\x00" * 32
+        assert out[63] == 0x40
+        # negative-y flag
+        out = ser.ser_g1(g.neg())
+        assert out[63] & 0x80
+
+
+class TestTranscript:
+    def test_deterministic(self):
+        t1 = Transcript(b"tag")
+        t2 = Transcript(b"tag")
+        t1.append_field(42)
+        t2.append_field(42)
+        assert t1.draw_field_element() == t2.draw_field_element()
+
+    def test_domain_separation(self):
+        t1 = Transcript(b"a")
+        t2 = Transcript(b"b")
+        assert t1.draw_field_element() != t2.draw_field_element()
+
+    def test_chain_structure(self):
+        # state transitions follow the reference construction exactly
+        t = Transcript(b"dom")
+        assert t.state == blake3_digest(b"dom")
+        s0 = t.state
+        t.append_bytes(b"msg")
+        assert t.state == blake3_digest(s0 + b"msg")
+        s1 = t.state
+        c = t.draw_challenge(48)
+        assert c == blake3_xof(s1 + b"challenge", 48)
+        assert t.state == blake3_digest(s1 + c)
+
+    def test_field_draw_range(self):
+        t = Transcript(b"x")
+        for _ in range(5):
+            v = t.draw_field_element()
+            assert 0 <= v < R
