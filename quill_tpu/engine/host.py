@@ -135,12 +135,13 @@ class HostEngine:
         """Round-message evaluations: for t = 0..degree return
         sum_p h(g_1, ..., g_k)(t) where each g_j is the degree-1 univariate
         lo + t*(hi - lo) built from adjacent pairs (LSB binding)."""
-        los = [t[0::2] for t in tables]
-        his = [t[1::2] for t in tables]
-        size = len(los[0]) if los else (1)
+        los = [None if t is None else t[0::2] for t in tables]
+        his = [None if t is None else t[1::2] for t in tables]
+        size = next((len(lo) for lo in los if lo is not None), 1)
         out = []
         for t in range(degree + 1):
-            vals = [(lo + t * (hi - lo)) % R for lo, hi in zip(los, his)]
+            vals = [None if lo is None else (lo + t * (hi - lo)) % R
+                    for lo, hi in zip(los, his)]
             h = self._eval(expr, vals, size)
             out.append(int(h.sum() % R))
         return out
