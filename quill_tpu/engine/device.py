@@ -1,0 +1,712 @@
+"""TPU execution engine: chunked, fixed-shape XLA programs over limb arrays.
+
+Design (TPU-first, see SURVEY §7):
+
+- A device vector (`DVec`) is a list of fixed-shape (22, CHUNK) int32 chunks
+  in canonical Montgomery limb form plus a logical length.  Every kernel is
+  compiled for exactly one shape, so each op compiles once per process (and is
+  reused across processes via the persistent compilation cache); host loops
+  stream chunks through the compiled programs.
+- Vectors smaller than one chunk are handled by the exact big-int
+  `HostEngine` -- the protocol tail (last sumcheck rounds, tiny openings) is
+  O(CHUNK) work where dispatch overhead would dominate.  Results are
+  bit-identical either way, so the handoff point is purely a tuning knob.
+- Reductions (sums, inner products) are computed as *lazy limb sums* on
+  device (int32 column sums of canonical limbs: 2^16 * 2^12 < 2^28, no
+  overflow) and finalized exactly on the host -- the device does the O(N),
+  the host does the O(#chunks).
+- Expressions (`piops.virtual_poly`) are compiled once per structure with
+  challenge constants passed as runtime arguments, so new proofs never
+  recompile.
+
+Engine ops not yet device-accelerated fall back to the host engine
+(documented per-op); they are replaced as the MSM / NTT kernels land.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from ..fields.bn254 import R
+from ..fields.scalar import inv
+from ..utils.jaxcfg import configure_jax
+from . import host as host_mod
+
+configure_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ..fields import device as fd  # noqa: E402
+from ..fields.limbs import ints_to_limbs, limbs_to_ints  # noqa: E402
+
+LOG2_CHUNK = 16
+CHUNK = 1 << LOG2_CHUNK
+
+SPEC = fd.FR
+R_INV = pow(1 << fd.R_BITS, -1, R)
+_LIMB_WEIGHTS = [1 << (fd.B * i) for i in range(fd.L)]
+
+
+@dataclass
+class DVec:
+    """Device vector: canonical Montgomery limb chunks of shape (22, CHUNK)."""
+
+    chunks: list
+    length: int
+
+
+def _mont_const_np(x: int) -> np.ndarray:
+    """Canonical int -> (22, 1) Montgomery-form limb constant."""
+    xm = int(x) % R * ((1 << fd.R_BITS) % R) % R
+    return ints_to_limbs([xm])  # (22, 1)
+
+
+def _lazy_to_int(lazy: np.ndarray) -> int:
+    """(22,) int64 lazy limb sums -> canonical int (the represented value is
+    in Montgomery form; multiply by R^-1)."""
+    total = 0
+    for i in range(fd.L):
+        total += int(lazy[i]) * _LIMB_WEIGHTS[i]
+    return total % R * R_INV % R
+
+
+# ---------------------------------------------------------------------------
+# fixed-shape kernels (compiled lazily, cached per engine process)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _k_to_mont(x):
+    return fd.to_mont(x, SPEC)
+
+
+@jax.jit
+def _k_from_mont(x):
+    return fd.from_mont(x, SPEC)
+
+
+@jax.jit
+def _k_add(a, b):
+    return fd.add(a, b, SPEC)
+
+
+@jax.jit
+def _k_sub(a, b):
+    return fd.sub(a, b, SPEC)
+
+
+@jax.jit
+def _k_mul(a, b):
+    return fd.mont_mul(a, b, SPEC)
+
+
+@jax.jit
+def _k_add_scalar(a, c):
+    return fd.add(a, jnp.broadcast_to(c, a.shape), SPEC)
+
+
+@jax.jit
+def _k_mul_scalar(a, c):
+    return fd.mont_mul(a, jnp.broadcast_to(c, a.shape), SPEC)
+
+
+@jax.jit
+def _k_lazy_sum(x):
+    return jnp.sum(x, axis=1)  # (22,) int32; 2^16 * 4095 < 2^28
+
+
+@jax.jit
+def _k_inner_partial(a, b):
+    return jnp.sum(fd.mont_mul(a, b, SPEC), axis=1)
+
+
+@jax.jit
+def _k_fold(c0, c1, r):
+    """Two input chunks -> one output chunk, binding the LSB variable."""
+    def half(c):
+        lo = c[:, 0::2]
+        hi = c[:, 1::2]
+        return fd.add(lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
+                                      fd.sub(hi, lo, SPEC), SPEC), SPEC)
+    return jnp.concatenate([half(c0), half(c1)], axis=1)
+
+
+@jax.jit
+def _k_fold_single(c0, r):
+    lo = c0[:, 0::2]
+    hi = c0[:, 1::2]
+    return fd.add(lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
+                                  fd.sub(hi, lo, SPEC), SPEC), SPEC)
+
+
+def _two_level_prefix_scan(x, combine, identity_col):
+    """Inclusive prefix scan of (22, C) along the element axis via a
+    blocked two-level lax.scan: sequential within 256-element blocks
+    (vectorized over blocks), then a block-offset scan, then a broadcast
+    combine.  Keeps the traced graph at ~3 combine bodies instead of
+    O(log C) full-width applications."""
+    C = x.shape[1]
+    bs = 256
+    nb = C // bs
+    blocks = x.reshape(fd.L, nb, bs)
+    xs = jnp.moveaxis(blocks, 2, 0)              # (bs, 22, nb)
+
+    def body(carry, x_t):
+        cur = combine(carry, x_t)
+        return cur, cur
+
+    init = jnp.broadcast_to(identity_col, (fd.L, nb)).astype(jnp.int32)
+    last, ys = jax.lax.scan(body, init, xs)      # ys: (bs, 22, nb)
+    within = jnp.moveaxis(ys, 0, 2)              # (22, nb, bs)
+
+    # exclusive block offsets from block totals (`last` = inclusive totals)
+    tot_xs = jnp.moveaxis(last[:, :, None], 1, 0)  # (nb, 22, 1)
+
+    def body2(carry, t):
+        return combine(carry, t), carry          # emit carry BEFORE combine
+
+    init2 = jnp.broadcast_to(identity_col, (fd.L, 1)).astype(jnp.int32)
+    _, offs = jax.lax.scan(body2, init2, tot_xs)  # (nb, 22, 1) exclusive
+    offs = jnp.moveaxis(offs, 0, 1)               # (22, nb, 1)
+    return combine(within, jnp.broadcast_to(offs, within.shape)).reshape(
+        fd.L, C)
+
+
+@jax.jit
+def _k_prefix_mul_scan(x):
+    one = jnp.asarray(SPEC.one_mont, jnp.int32)[:, None]
+    return _two_level_prefix_scan(
+        x, lambda a, b: fd.mont_mul(a, b, SPEC), one)
+
+
+@jax.jit
+def _k_prefix_add_scan(x):
+    zero = jnp.zeros((fd.L, 1), jnp.int32)
+    return _two_level_prefix_scan(x, lambda a, b: fd.add(a, b, SPEC), zero)
+
+
+@jax.jit
+def _k_binv_combine(p_incl, s_incl, chunk_scalar, one_col):
+    """out = exclusive_prefix * exclusive_suffix * chunk_scalar."""
+    pe = jnp.concatenate([jnp.broadcast_to(one_col, (fd.L, 1)),
+                          p_incl[:, :-1]], axis=1)
+    se = jnp.concatenate([s_incl[:, 1:],
+                          jnp.broadcast_to(one_col, (fd.L, 1))], axis=1)
+    return fd.mont_mul(fd.mont_mul(pe, se, SPEC),
+                       jnp.broadcast_to(chunk_scalar, pe.shape), SPEC)
+
+
+@jax.jit
+def _k_suffix_mul_scan(x):
+    one = jnp.asarray(SPEC.one_mont, jnp.int32)[:, None]
+    s = _two_level_prefix_scan(
+        x[:, ::-1], lambda a, b: fd.mont_mul(a, b, SPEC), one)
+    return s[:, ::-1]
+
+
+def _powtable_kernel(log2_size: int):
+    @jax.jit
+    def kern(pow_stack):
+        # pow_stack: (log2_size, 22, 1) with pow_stack[k] = x^(2^k) (mont)
+        size = 1 << log2_size
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+        acc = jnp.broadcast_to(jnp.asarray(SPEC.one_mont, jnp.int32)[:, None],
+                               (fd.L, size)).astype(jnp.int32)
+        for k in range(log2_size):
+            bit = (idx >> k) & 1
+            mult = fd.mont_mul(acc, jnp.broadcast_to(pow_stack[k], acc.shape),
+                               SPEC)
+            acc = jnp.where(bit.astype(bool), mult, acc)
+        return acc
+    return kern
+
+
+_POWTABLE_KERNELS: dict = {}
+
+
+def _powtable_chunk(x: int, log2_size: int = LOG2_CHUNK) -> jnp.ndarray:
+    """Device table of x^j (Montgomery) for j in [0, 2^log2_size)."""
+    if log2_size not in _POWTABLE_KERNELS:
+        _POWTABLE_KERNELS[log2_size] = _powtable_kernel(log2_size)
+    pows = []
+    cur = x % R
+    for _ in range(log2_size):
+        pows.append(_mont_const_np(cur))
+        cur = cur * cur % R
+    stack = jnp.asarray(np.stack(pows, axis=0))
+    return _POWTABLE_KERNELS[log2_size](stack)
+
+
+# -- expression kernel codegen ----------------------------------------------
+
+_EXPR_KERNELS: dict = {}
+
+
+def _emit(expr, tables: dict, consts, counter: list):
+    from ..piops import virtual_poly as vp
+
+    if isinstance(expr, vp.Input):
+        return tables[expr.index]
+    if isinstance(expr, vp.Const):
+        k = counter[0]
+        counter[0] += 1
+        some = next(iter(tables.values()))
+        return jnp.broadcast_to(consts[k], some.shape)
+    if isinstance(expr, vp.Add):
+        return fd.add(_emit(expr.left, tables, consts, counter),
+                      _emit(expr.right, tables, consts, counter), SPEC)
+    if isinstance(expr, vp.Mul):
+        return fd.mont_mul(_emit(expr.left, tables, consts, counter),
+                           _emit(expr.right, tables, consts, counter), SPEC)
+    raise TypeError(f"unknown expr node {expr!r}")
+
+
+def _get_eval_kernel(expr, used: tuple):
+    structure, _ = expr.key()
+    key = ("eval", structure, used)
+    if key not in _EXPR_KERNELS:
+        def kern(consts, *table_chunks):
+            tables = {idx: tc for idx, tc in zip(used, table_chunks)}
+            return _emit(expr, tables, consts, [0])
+        _EXPR_KERNELS[key] = jax.jit(kern)
+    return _EXPR_KERNELS[key]
+
+
+def _get_msgs_kernel(expr, used: tuple, degree: int):
+    structure, _ = expr.key()
+    key = ("msgs", structure, used, degree)
+    if key not in _EXPR_KERNELS:
+        # interpolation nodes t = 0..degree stacked along a new axis so the
+        # expression is traced once, not degree+1 times (compile-time control)
+        t_np = np.stack([_mont_const_np(t) for t in range(degree + 1)],
+                        axis=1)  # (22, T, 1)
+
+        def kern(consts, *table_chunks):
+            t_col = jnp.asarray(t_np)
+            vals = {}
+            for i, tc in zip(used, table_chunks):
+                lo = tc[:, None, 0::2]           # (22, 1, C/2)
+                hi = tc[:, None, 1::2]
+                diff = fd.sub(hi, lo, SPEC)
+                shape = (fd.L, degree + 1, lo.shape[2])
+                vals[i] = fd.add(
+                    jnp.broadcast_to(lo, shape),
+                    fd.mont_mul(jnp.broadcast_to(t_col, shape),
+                                jnp.broadcast_to(diff, shape), SPEC), SPEC)
+            h = _emit_nd(expr, vals, consts, [0])
+            return jnp.sum(h, axis=2).transpose(1, 0)  # (T, 22)
+        _EXPR_KERNELS[key] = jax.jit(kern)
+    return _EXPR_KERNELS[key]
+
+
+def _emit_nd(expr, tables: dict, consts, counter: list):
+    from ..piops import virtual_poly as vp
+
+    if isinstance(expr, vp.Input):
+        return tables[expr.index]
+    if isinstance(expr, vp.Const):
+        k = counter[0]
+        counter[0] += 1
+        some = next(iter(tables.values()))
+        return jnp.broadcast_to(consts[k][:, None, :], some.shape)
+    if isinstance(expr, vp.Add):
+        return fd.add(_emit_nd(expr.left, tables, consts, counter),
+                      _emit_nd(expr.right, tables, consts, counter), SPEC)
+    if isinstance(expr, vp.Mul):
+        return fd.mont_mul(_emit_nd(expr.left, tables, consts, counter),
+                           _emit_nd(expr.right, tables, consts, counter), SPEC)
+    raise TypeError(f"unknown expr node {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class TpuEngine:
+    """Hybrid device/host engine.  Device path for vectors of >= one chunk
+    (2^16 elements), exact host big-int path below."""
+
+    name = "tpu"
+
+    def __init__(self):
+        self.host = host_mod.HostEngine()
+        self._one_col = jnp.asarray(SPEC.one_mont, jnp.int32)[:, None]
+
+    # -- representation -----------------------------------------------------
+
+    def is_vec(self, v) -> bool:
+        return isinstance(v, DVec) or self.host.is_vec(v)
+
+    def _is_dev(self, v) -> bool:
+        return isinstance(v, DVec)
+
+    def vec_from_ints(self, xs):
+        n = len(xs)
+        if n < CHUNK:
+            return self.host.vec_from_ints(xs)
+        return self._dvec_from_ints([int(x) % R for x in xs])
+
+    @staticmethod
+    def _dvec_from_ints(vals: list[int]) -> "DVec":
+        """Build a DVec from exact ints, zero-padding the last chunk.
+        Physical padding beyond the logical length is always zero."""
+        n = len(vals)
+        padded = vals + [0] * (-n % CHUNK)
+        limbs = ints_to_limbs(padded)
+        chunks = []
+        for j in range(len(padded) // CHUNK):
+            c = jnp.asarray(limbs[:, j * CHUNK:(j + 1) * CHUNK])
+            chunks.append(_k_to_mont(c))
+        return DVec(chunks=chunks, length=n)
+
+    def vec_to_ints(self, v):
+        if not self._is_dev(v):
+            return self.host.vec_to_ints(v)
+        outs = []
+        for c in v.chunks:
+            outs.extend(limbs_to_ints(np.asarray(_k_from_mont(c))))
+        return self.host.vec_from_ints(outs[:v.length])
+
+    def to_host_vec(self, v):
+        return self.vec_to_ints(v)
+
+    def vec_len(self, v) -> int:
+        return v.length if self._is_dev(v) else self.host.vec_len(v)
+
+    # -- elementwise --------------------------------------------------------
+
+    def _map2(self, kern, a, b):
+        return DVec(chunks=[kern(x, y) for x, y in zip(a.chunks, b.chunks)],
+                    length=a.length)
+
+    def add(self, a, b):
+        if not self._is_dev(a) and not self._is_dev(b):
+            return self.host.add(a, b)
+        a, b = self._align(a, b)
+        return self._map2(_k_add, a, b)
+
+    def sub(self, a, b):
+        if not self._is_dev(a) and not self._is_dev(b):
+            return self.host.sub(a, b)
+        a, b = self._align(a, b)
+        return self._map2(_k_sub, a, b)
+
+    def mul(self, a, b):
+        if not self._is_dev(a) and not self._is_dev(b):
+            return self.host.mul(a, b)
+        a, b = self._align(a, b)
+        return self._map2(_k_mul, a, b)
+
+    def _align(self, a, b):
+        if self._is_dev(a) and self._is_dev(b):
+            assert a.length == b.length
+            return a, b
+        # promote the host vector (rare)
+        if not self._is_dev(a):
+            a = self.vec_from_ints([int(x) for x in a])
+        if not self._is_dev(b):
+            b = self.vec_from_ints([int(x) for x in b])
+        return a, b
+
+    def add_scalar(self, v, c: int):
+        if not self._is_dev(v):
+            return self.host.add_scalar(v, c)
+        cc = jnp.asarray(_mont_const_np(c))
+        return DVec(chunks=[_k_add_scalar(x, cc) for x in v.chunks],
+                    length=v.length)
+
+    def mul_scalar(self, v, c: int):
+        if not self._is_dev(v):
+            return self.host.mul_scalar(v, c)
+        cc = jnp.asarray(_mont_const_np(c))
+        return DVec(chunks=[_k_mul_scalar(x, cc) for x in v.chunks],
+                    length=v.length)
+
+    # -- reductions ---------------------------------------------------------
+
+    def vsum(self, v) -> int:
+        if not self._is_dev(v):
+            return self.host.vsum(v)
+        total = np.zeros(fd.L, dtype=np.int64)
+        for c in v.chunks:
+            total += np.asarray(_k_lazy_sum(c), dtype=np.int64)
+        return _lazy_to_int(total)
+
+    def inner(self, a, b) -> int:
+        if not self._is_dev(a) and not self._is_dev(b):
+            return self.host.inner(a, b)
+        # align lengths: inner is over the min length (arkworks zip)
+        if self._is_dev(a) and self._is_dev(b):
+            n = min(a.length, b.length)
+            total = np.zeros(fd.L, dtype=np.int64)
+            full = n // CHUNK
+            for j in range(full):
+                total += np.asarray(
+                    _k_inner_partial(a.chunks[j], b.chunks[j]), dtype=np.int64)
+            rem = 0
+            if n % CHUNK:
+                ha = self.vec_to_ints(DVec(chunks=[a.chunks[full]], length=CHUNK))
+                hb = self.vec_to_ints(DVec(chunks=[b.chunks[full]], length=CHUNK))
+                rem = self.host.inner(ha[:n % CHUNK], hb[:n % CHUNK])
+            return (_lazy_to_int(total) + rem) % R
+        # mixed: shorter host vector against device -- do on host
+        ha = a if not self._is_dev(a) else self.vec_to_ints(a)
+        hb = b if not self._is_dev(b) else self.vec_to_ints(b)
+        return self.host.inner(ha, hb)
+
+    # -- batch inversion ----------------------------------------------------
+
+    def batch_inverse(self, v):
+        if not self._is_dev(v):
+            return self.host.batch_inverse(v)
+        assert v.length % CHUNK == 0
+        p_scans = [_k_prefix_mul_scan(c) for c in v.chunks]
+        s_scans = [_k_suffix_mul_scan(c) for c in v.chunks]
+        # chunk totals (exact host ints, from Montgomery rep)
+        totals = []
+        for ps in p_scans:
+            limb_col = np.asarray(ps[:, -1:])
+            val = limbs_to_ints(limb_col)[0] * R_INV % R
+            totals.append(val)
+        total_all = 1
+        for t in totals:
+            if t == 0:
+                raise ZeroDivisionError("inverse of zero field element in batch")
+            total_all = total_all * t % R
+        inv_all = inv(total_all, R)
+        # per-chunk scalar: prod(before) * prod(after) * inv(total)
+        nch = len(v.chunks)
+        before = [1] * nch
+        for j in range(1, nch):
+            before[j] = before[j - 1] * totals[j - 1] % R
+        after = [1] * nch
+        for j in range(nch - 2, -1, -1):
+            after[j] = after[j + 1] * totals[j + 1] % R
+        out = []
+        for j in range(nch):
+            scalar = before[j] * after[j] % R * inv_all % R
+            cc = jnp.asarray(_mont_const_np(scalar))
+            out.append(_k_binv_combine(p_scans[j], s_scans[j], cc,
+                                       self._one_col))
+        return DVec(chunks=out, length=v.length)
+
+    # -- multilinear --------------------------------------------------------
+
+    def eq_table(self, point: list[int]):
+        n = len(point)
+        if (1 << n) < CHUNK:
+            return self.host.eq_table(point)
+        lo_host = self.host.eq_table(point[:LOG2_CHUNK])
+        lo_chunk = self.vec_from_ints([int(x) for x in lo_host]).chunks[0]
+        hi_host = [int(x) for x in self.host.eq_table(point[LOG2_CHUNK:])]
+        chunks = []
+        for h in hi_host:
+            cc = jnp.asarray(_mont_const_np(h))
+            chunks.append(_k_mul_scalar(lo_chunk, cc))
+        return DVec(chunks=chunks, length=1 << n)
+
+    def _promote_used(self, tables, used):
+        """Ensure every used table is device-resident (promotes stray host
+        vectors of matching length)."""
+        out = list(tables)
+        for i in used:
+            if not self._is_dev(out[i]):
+                out[i] = self.vec_from_ints([int(x) for x in out[i]])
+        return out
+
+    def eval_expr(self, tables, expr, size: int):
+        used = tuple(sorted(expr.used_inputs()))
+        devs = [tables[i] for i in used if self._is_dev(tables[i])]
+        if not devs:
+            return self.host.eval_expr(tables, expr, size)
+        tables = self._promote_used(tables, used)
+        _, const_vals = expr.key()
+        consts = jnp.asarray(
+            np.stack([_mont_const_np(c) for c in const_vals], axis=0)
+            if const_vals else np.zeros((0, fd.L, 1), dtype=np.int32))
+        kern = _get_eval_kernel(expr, used)
+        nch = len(devs[0].chunks)
+        out = []
+        for j in range(nch):
+            chunk_args = [tables[i].chunks[j] for i in used]
+            out.append(kern(consts, *chunk_args))
+        return DVec(chunks=out, length=size)
+
+    def fold(self, v, r: int):
+        if not self._is_dev(v):
+            return self.host.fold(v, r)
+        rc = jnp.asarray(_mont_const_np(r))
+        nch = len(v.chunks)
+        if nch == 1:
+            half = _k_fold_single(v.chunks[0], rc)
+            # below one chunk: hand off to the host engine
+            ints = limbs_to_ints(np.asarray(_k_from_mont_half(half)))
+            return self.host.vec_from_ints(ints)
+        out = [_k_fold(v.chunks[2 * j], v.chunks[2 * j + 1], rc)
+               for j in range(nch // 2)]
+        return DVec(chunks=out, length=v.length // 2)
+
+    def sumcheck_messages(self, tables, expr, degree: int) -> list[int]:
+        used = tuple(sorted(expr.used_inputs()))
+        devs = [tables[i] for i in used if self._is_dev(tables[i])]
+        if not devs:
+            return self.host.sumcheck_messages(tables, expr, degree)
+        tables = self._promote_used(tables, used)
+        _, const_vals = expr.key()
+        consts = jnp.asarray(
+            np.stack([_mont_const_np(c) for c in const_vals], axis=0)
+            if const_vals else np.zeros((0, fd.L, 1), dtype=np.int32))
+        kern = _get_msgs_kernel(expr, used, degree)
+        nch = len(devs[0].chunks)
+        totals = np.zeros((degree + 1, fd.L), dtype=np.int64)
+        for j in range(nch):
+            chunk_args = [tables[i].chunks[j] for i in used]
+            totals += np.asarray(kern(consts, *chunk_args), dtype=np.int64)
+        return [_lazy_to_int(totals[t]) for t in range(degree + 1)]
+
+    # -- univariate ---------------------------------------------------------
+
+    def pad(self, v, n: int):
+        if not self._is_dev(v):
+            if n < CHUNK:
+                return self.host.pad(v, n)
+            return self.vec_from_ints(
+                [int(x) for x in v] + [0] * (n - self.host.vec_len(v)))
+        if n <= v.length:
+            return v
+        assert n % CHUNK == 0
+        extra = (n - v.length + CHUNK - 1) // CHUNK
+        zero_chunk = jnp.zeros((fd.L, CHUNK), dtype=jnp.int32)
+        return DVec(chunks=v.chunks + [zero_chunk] * extra, length=n)
+
+    def reverse(self, v):
+        if not self._is_dev(v):
+            return self.host.reverse(v)
+        out = [_k_reverse(c) for c in reversed(v.chunks)]
+        return DVec(chunks=out, length=v.length)
+
+    def slice(self, v, start: int, stop: int):
+        if not self._is_dev(v):
+            return self.host.slice(v, start, stop)
+        n = stop - start
+        if start % CHUNK == 0 and n >= CHUNK:
+            # aligned fast path (S-polynomial extraction is aligned: h is
+            # sliced at max_len, a power of two >= CHUNK)
+            first = start // CHUNK
+            last = (stop + CHUNK - 1) // CHUNK
+            return DVec(chunks=v.chunks[first:last], length=n)
+        h = self.vec_to_ints(v)
+        ints = [int(x) for x in h[start:stop]]
+        if len(ints) >= CHUNK:
+            return self._dvec_from_ints(ints)
+        return self.host.vec_from_ints(ints)
+
+    def poly_eval(self, coeffs, x: int) -> int:
+        if not self._is_dev(coeffs):
+            return self.host.poly_eval(coeffs, x)
+        powx = self._powtable(x, coeffs.length)
+        return self.inner(coeffs, powx)
+
+    def _powtable(self, x: int, n: int) -> "DVec":
+        assert n % CHUNK == 0
+        base = _powtable_chunk(x, LOG2_CHUNK)
+        chunks = []
+        for j in range(n // CHUNK):
+            offset = pow(x, j * CHUNK, R)
+            cc = jnp.asarray(_mont_const_np(offset))
+            chunks.append(_k_mul_scalar(base, cc))
+        return DVec(chunks=chunks, length=n)
+
+    def quotient_by_linear(self, coeffs, x: int):
+        """(y, q) with q = (p - y)/(X - x) via prefix-scan Horner:
+        q_j = (p(x) - P_j) * x^{-(j+1)} where P_j = sum_{t<=j} c_t x^t."""
+        if not self._is_dev(coeffs):
+            return self.host.quotient_by_linear(coeffs, x)
+        x = x % R
+        if x == 0:
+            return self.host.quotient_by_linear(self.vec_to_ints(coeffs), x)
+        xinv = inv(x, R)
+        powx = self._powtable(x, coeffs.length)
+        w = self.mul(coeffs, powx)
+        # inclusive prefix sums with cross-chunk offsets
+        p_scans = [_k_prefix_add_scan(c) for c in w.chunks]
+        chunk_tot = [limbs_to_ints(np.asarray(ps[:, -1:]))[0] * R_INV % R
+                     for ps in p_scans]
+        offsets = [0] * len(p_scans)
+        for j in range(1, len(p_scans)):
+            offsets[j] = (offsets[j - 1] + chunk_tot[j - 1]) % R
+        y = (offsets[-1] + chunk_tot[-1]) % R
+        powxi = self._powtable(xinv, coeffs.length)
+        q_chunks = []
+        y_col = jnp.asarray(_mont_const_np(y))
+        xinv_col = jnp.asarray(_mont_const_np(xinv))
+        for j, ps in enumerate(p_scans):
+            off_col = jnp.asarray(_mont_const_np(offsets[j]))
+            q_chunks.append(_k_quotient_combine(ps, off_col, y_col,
+                                                powxi.chunks[j], xinv_col))
+        # q_{N-1} = (y - P_{N-1}) * xinv^N = 0 exactly, so keeping logical
+        # length N (not N-1) is the same polynomial and keeps chunks aligned.
+        q = DVec(chunks=q_chunks, length=coeffs.length)
+        return y, q
+
+    def poly_mul(self, a, b):
+        if self._is_dev(a) and self._is_dev(b):
+            from ..poly import ntt
+
+            out_chunks = ntt.poly_mul_ntt(a.chunks, a.length, b.chunks,
+                                          b.length)
+            return DVec(chunks=out_chunks, length=a.length + b.length - 1)
+        ha = a if not self._is_dev(a) else self.vec_to_ints(a)
+        hb = b if not self._is_dev(b) else self.vec_to_ints(b)
+        out = self.host.poly_mul(ha, hb)
+        if len(out) >= CHUNK:
+            return self._dvec_from_ints([int(x) for x in out])
+        return out
+
+    # -- curve --------------------------------------------------------------
+
+    def load_points(self, affines: list):
+        from ..ec import msm as msm_mod
+
+        return msm_mod.load_basis(affines)
+
+    def basis_slice(self, basis, n: int):
+        from ..ec import msm as msm_mod
+
+        return msm_mod.slice_basis(basis, n)
+
+    def msm(self, basis, scalars):
+        from ..ec import curve
+        from ..ec import msm as msm_mod
+
+        if not self._is_dev(scalars):
+            # small tail: host Pippenger over the affine CRS
+            return curve.msm_host(basis.affines,
+                                  [int(s) for s in scalars])
+        scalar_chunks = [_k_from_mont(c) for c in scalars.chunks]
+        return msm_mod.msm_device(basis, scalar_chunks, scalars.length)
+
+
+@jax.jit
+def _k_reverse(c):
+    return c[:, ::-1]
+
+
+@jax.jit
+def _k_from_mont_half(x):
+    return fd.from_mont(x, SPEC)
+
+
+@jax.jit
+def _k_quotient_combine(p_incl, off_col, y_col, powxi_chunk, xinv_col):
+    """q = (y - (off + P_j)) * xinv^j * xinv."""
+    shape = p_incl.shape
+    pj = fd.add(p_incl, jnp.broadcast_to(off_col, shape), SPEC)
+    diff = fd.sub(jnp.broadcast_to(y_col, shape), pj, SPEC)
+    q = fd.mont_mul(diff, powxi_chunk, SPEC)
+    return fd.mont_mul(q, jnp.broadcast_to(xinv_col, shape), SPEC)

@@ -1,0 +1,273 @@
+"""Device (JAX/XLA) batched prime-field arithmetic in 12-bit limbs.
+
+This is the compute substrate the whole TPU prover runs on -- the counterpart
+of arkworks' `ark_ff` field backend, redesigned for the TPU VPU:
+
+- elements live in Montgomery form (radix R = 2^264) as int32 limb rows of an
+  (22, N) array; the N axis is the vector-lane axis;
+- multiplication is schoolbook column accumulation (static unrolled 22x22,
+  products < 2^24, columns < 2^30 -- no intermediate normalization needed)
+  followed by one-shot Montgomery reduction (m = T_low * P' mod R, then
+  (T + m*p) >> 264);
+- carry propagation is an exact sequential chain (unrolled adds/shifts that
+  XLA fuses into the same kernel); conditional subtract-p keeps every stored
+  value canonical (< p, 12-bit limbs);
+- everything here is shape-polymorphic jnp code: jit/fusion happens at the
+  engine layer, and the same programs run on CPU meshes for differential
+  tests against the exact host big-int engine.
+
+Functions are generic over the modulus via a `FieldSpec` (Fr for the proof
+system, Fq for curve arithmetic in the MSM kernels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bn254 import P as _P_INT
+from .bn254 import R as _R_INT
+from .limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs
+
+L = NUM_LIMBS
+B = LIMB_BITS
+MASK = LIMB_MASK
+R_BITS = L * B  # 264
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Montgomery parameters for one prime modulus, as host numpy constants
+    (broadcast into kernels as (22, 1) columns)."""
+
+    modulus: int
+    p_limbs: np.ndarray          # (22,)
+    p_prime_limbs: np.ndarray    # (22,)  -p^{-1} mod 2^264
+    r_mod_p: int                 # R mod p  (Montgomery one)
+    r2_limbs: np.ndarray         # (22,)  R^2 mod p
+    one_mont: np.ndarray         # (22,)  R mod p
+
+    @staticmethod
+    @lru_cache(maxsize=None)
+    def make(modulus: int) -> "FieldSpec":
+        r = 1 << R_BITS
+        p_prime = (-pow(modulus, -1, r)) % r
+        r_mod = r % modulus
+        r2 = r_mod * r_mod % modulus
+        return FieldSpec(
+            modulus=modulus,
+            p_limbs=np.asarray(int_to_limbs(modulus)),
+            p_prime_limbs=np.array(
+                [(p_prime >> (B * i)) & MASK for i in range(L)], dtype=np.int32),
+            r_mod_p=r_mod,
+            r2_limbs=np.asarray(int_to_limbs(r2)),
+            one_mont=np.asarray(int_to_limbs(r_mod)),
+        )
+
+
+FR = FieldSpec.make(_R_INT)
+FQ = FieldSpec.make(_P_INT)
+
+
+def _col(spec_arr: np.ndarray) -> jnp.ndarray:
+    """(22,) host constant -> (22, 1) broadcastable column."""
+    return jnp.asarray(spec_arr, dtype=jnp.int32)[:, None]
+
+
+# ---------------------------------------------------------------------------
+# carries and canonicalization
+# ---------------------------------------------------------------------------
+
+
+def carry_chain(cols: list, out_limbs: int) -> list:
+    """Exact sequential carry propagation: input columns may hold any int32
+    values (including negatives -- arithmetic shift handles borrow), output is
+    `out_limbs` limbs in [0, 4095] plus any final carry folded into the last
+    limb position (callers guarantee no overflow there)."""
+    out = []
+    carry = None
+    for i in range(out_limbs):
+        v = cols[i] if i < len(cols) else jnp.zeros_like(cols[0])
+        if carry is not None:
+            v = v + carry
+        out.append(v & MASK)
+        carry = v >> B
+    return out
+
+
+def carry_scan(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """`carry_chain` on a stacked (K, ...) column array via lax.scan -- same
+    exact semantics, O(1) traced graph size.  Final carry out of the last
+    limb is dropped (callers guarantee it is zero or reduce mod R)."""
+    import jax
+
+    k = cols.shape[0]
+    if k < out_limbs:
+        padding = jnp.zeros((out_limbs - k,) + cols.shape[1:], cols.dtype)
+        cols = jnp.concatenate([cols, padding], axis=0)
+    elif k > out_limbs:
+        cols = cols[:out_limbs]
+
+    def body(carry, col):
+        v = col + carry
+        return v >> B, v & MASK
+
+    _, out = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols)
+    return out
+
+
+def _sub_const_if_ge(limbs: list, const_limbs) -> list:
+    """Branchless conditional subtract of a 22-limb host constant: returns
+    value - c if value >= c else value (canonical limbs in/out)."""
+    diff = []
+    borrow = jnp.zeros_like(limbs[0])
+    for i in range(L):
+        t = limbs[i] - int(const_limbs[i]) - borrow
+        borrow = (t >> B) & 1          # 1 iff t < 0 (t in [-4097, 4095])
+        diff.append(t & MASK)
+    ge = borrow == 0                   # no final borrow -> value >= c
+    return [jnp.where(ge, d, x) for d, x in zip(diff, limbs)]
+
+
+def _sub_p_if_ge(limbs: list, spec: FieldSpec) -> list:
+    """Conditional subtract: given canonical-limb value < 2p, return value
+    mod p."""
+    return _sub_const_if_ge(limbs, spec.p_limbs)
+
+
+# ---------------------------------------------------------------------------
+# core ops (operate on lists of 22 same-shaped int32 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _unstack(x: jnp.ndarray) -> list:
+    return [x[i] for i in range(L)]
+
+
+def _stack(limbs: list) -> jnp.ndarray:
+    return jnp.stack(limbs, axis=0)
+
+
+def add(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    la, lb = _unstack(a), _unstack(b)
+    s = [x + y for x, y in zip(la, lb)]
+    s = carry_chain(s, L)
+    return _stack(_sub_p_if_ge(s, spec))
+
+
+def sub(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    la, lb = _unstack(a), _unstack(b)
+    p = spec.p_limbs
+    s = [x - y + int(p[i]) for i, (x, y) in enumerate(zip(la, lb))]
+    s = carry_chain(s, L)
+    return _stack(_sub_p_if_ge(s, spec))
+
+
+def neg(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    la = _unstack(a)
+    p = spec.p_limbs
+    s = [int(p[i]) - x for i, x in enumerate(la)]
+    s = carry_chain(s, L)
+    return _stack(_sub_p_if_ge(s, spec))
+
+
+
+def _mul_cols_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product columns of two stacked limb arrays: a (22, ...),
+    b (22, ...) or (22, 1)-broadcastable -> (43, ...) column sums.
+
+    Compact form: a fori_loop over the 22 a-limbs, each iteration adding
+    a[i] * b into the 22-column window at offset i of a 43-column
+    accumulator -- O(1) traced ops, exact column sums (< 22 * 2^24)."""
+    import jax
+
+    batch = a.shape[1:]
+    b_b = jnp.broadcast_to(b, (L,) + batch)
+    acc = jnp.zeros((2 * L,) + batch, dtype=jnp.int32)
+
+    def body(i, acc):
+        window = jax.lax.dynamic_slice_in_dim(acc, i, L, axis=0)
+        window = window + a[i] * b_b
+        return jax.lax.dynamic_update_slice_in_dim(acc, window, i, axis=0)
+
+    acc = jax.lax.fori_loop(0, L, body, acc)
+    return acc[:2 * L - 1]
+
+
+
+def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery product a*b*R^{-1} mod p; canonical in, canonical out."""
+    t = _mul_cols_full(a, jnp.broadcast_to(b, a.shape))  # (43, ...), < 2^30
+    return _redc_stacked(t, spec)
+
+
+def mont_mul_const(a: jnp.ndarray, c_mont: np.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery product with a host-resident constant (Montgomery form)."""
+    c = jnp.asarray(np.asarray(c_mont).reshape((L,) + (1,) * (a.ndim - 1)),
+                    jnp.int32)
+    t = _mul_cols_full(a, c)
+    return _redc_stacked(t, spec)
+
+
+def _redc_stacked(t: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """One-shot Montgomery reduction of stacked product columns (43, ...)
+    -> (22, ...) canonical limbs.  Same math as `_redc`, compact graph."""
+    batch = t.shape[1:]
+    t_low = carry_scan(t[:L], L)                           # t mod R, 12-bit
+    pp = jnp.asarray(spec.p_prime_limbs).reshape((L,) + (1,) * len(batch))
+    m_cols = _mul_cols_full(t_low, pp)
+    m = carry_scan(m_cols[:L], L)                          # (t p') mod R
+    p = jnp.asarray(spec.p_limbs).reshape((L,) + (1,) * len(batch))
+    mp = _mul_cols_full(m, p)                              # (43, ...)
+    total = t + mp
+    norm = carry_scan(total, 2 * L)                        # low 22 limbs == 0
+    hi = [norm[L + i] for i in range(L)]
+    return _stack(_sub_p_if_ge(hi, spec))
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# Montgomery domain conversion
+# ---------------------------------------------------------------------------
+
+
+def to_mont(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    return mont_mul_const(a, spec.r2_limbs, spec)
+
+
+def from_mont(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    t = jnp.concatenate(
+        [a, jnp.zeros((L - 1,) + a.shape[1:], dtype=jnp.int32)], axis=0)
+    return _redc_stacked(t, spec)
+
+
+def one_mont_like(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    return jnp.broadcast_to(_col(spec.one_mont), a.shape).astype(jnp.int32)
+
+
+def zeros(shape, _spec: FieldSpec | None = None) -> jnp.ndarray:
+    return jnp.zeros((L,) + tuple(shape), dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# predicates / selects
+# ---------------------------------------------------------------------------
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise zero test on canonical limbs -> bool array of batch shape."""
+    return jnp.all(a == 0, axis=0)
+
+
+def equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=0)
+
+
+def select(pred: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """pred: bool batch shape; a where pred else b."""
+    return jnp.where(pred[None, ...], a, b)

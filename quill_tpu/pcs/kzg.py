@@ -97,19 +97,73 @@ class KZG:
         ])
 
 
-# module-level CRS cache so tests and benches reuse setups
+# module-level + on-disk CRS caches so tests and benches reuse setups (host
+# tau-power generation is O(degree) scalar muls of Python EC)
 _SETUP_CACHE: dict = {}
 
 
+def _disk_cache_path(max_degree: int, seed: int) -> str:
+    import os
+
+    d = os.environ.get("QUILL_CRS_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "quill_tpu_crs"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"crs_{max_degree}_{seed}.npz")
+
+
+def _save_crs(path: str, kzg: KZG) -> None:
+    import numpy as np
+
+    xs = np.array([[p.x.v >> (64 * i) & ((1 << 64) - 1) for i in range(4)]
+                   for p in kzg.g1_points], dtype=np.uint64)
+    ys = np.array([[p.y.v >> (64 * i) & ((1 << 64) - 1) for i in range(4)]
+                   for p in kzg.g1_points], dtype=np.uint64)
+    g2 = kzg.g2_points[1].to_affine()
+    g2_words = np.array([g2.x.c0, g2.x.c1, g2.y.c0, g2.y.c1], dtype=object)
+    np.savez_compressed(path, xs=xs, ys=ys,
+                        g2=np.array([str(int(v)) for v in g2_words]))
+
+
+def _load_crs(path: str, engine, max_degree: int):
+    import numpy as np
+
+    from ..ec.tower import Fq2
+
+    try:
+        data = np.load(path, allow_pickle=False)
+    except Exception:
+        return None
+    xs, ys = data["xs"], data["ys"]
+    if xs.shape[0] != max_degree + 1:
+        return None
+    points = []
+    for i in range(xs.shape[0]):
+        x = sum(int(xs[i, j]) << (64 * j) for j in range(4))
+        y = sum(int(ys[i, j]) << (64 * j) for j in range(4))
+        points.append(curve.Affine(curve.Fq(x), curve.Fq(y)))
+    g2w = [int(s) for s in data["g2"]]
+    g2 = curve.g2_generator()
+    tau_g2 = curve.Jacobian(Fq2(g2w[0], g2w[1]), Fq2(g2w[2], g2w[3]),
+                            Fq2.one())
+    return KZG(engine, max_degree, points, [g2, tau_g2], curve.g1_generator(),
+               g2)
+
+
 def cached_trusted_setup(engine, max_degree: int, seed: int = 0) -> KZG:
-    key = (max_degree, seed)
+    key = (max_degree, seed, id(engine))
     crs = _SETUP_CACHE.get(key)
-    if crs is None or crs.engine is not engine:
-        base = _SETUP_CACHE.get((max_degree, seed, "raw"))
-        if base is None:
-            base = KZG.trusted_setup(engine, max_degree, seed=seed)
-            _SETUP_CACHE[(max_degree, seed, "raw")] = base
+    if crs is not None:
+        return crs
+    path = _disk_cache_path(max_degree, seed)
+    crs = _load_crs(path, engine, max_degree)
+    if crs is None:
+        base = KZG.trusted_setup(engine, max_degree, seed=seed)
         crs = KZG(engine, base.max_degree, base.g1_points, base.g2_points,
                   base.g1, base.g2)
-        _SETUP_CACHE[key] = crs
+        try:
+            _save_crs(path, crs)
+        except Exception:
+            pass
+    _SETUP_CACHE[key] = crs
     return crs
