@@ -5,28 +5,28 @@ Counterpart of arkworks `VariableBaseMSM::msm_unchecked`
 
 - scalars are decomposed into W = ceil(254/c) unsigned c-bit windows on
   device (limb bit surgery, all windows at once);
-- per 2^16-element chunk and per window, points are *sorted by bucket index*
-  (XLA sort, batched over windows) and bucket sums are produced by a
-  batched two-level segmented scan whose combine is the branchless complete
-  point addition -- no data-dependent scatter in the hot loop (one small
-  dense scatter writes each window's 2^c bucket array);
-- chunk bucket arrays are accumulated with one vectorized point addition per
-  chunk (fixed shapes: every kernel compiles once);
-- bucket reduction is the classic triangle sum, computed as a suffix
-  point-scan plus a full reduction, batched over all windows;
+- per 2^16-element chunk, points are *sorted by bucket index* (XLA sort,
+  batched over all windows) and bucket sums are produced by a segmented
+  Hillis-Steele scan: log2(N) host-driven applications of ONE compiled step
+  kernel (complete point addition + same-segment mask, dynamic shift) --
+  full-width data-parallel steps instead of a sequential scan, no
+  data-dependent scatter in the hot loop;
+- each window's 2^c bucket array is written by one small dense scatter and
+  accumulated across chunks with one vectorized point addition;
+- bucket reduction is the classic triangle sum: an (unsegmented) suffix
+  Hillis-Steele scan over buckets plus one full reduction, batched over all
+  windows;
 - the W window results are combined on the host (c doublings per window --
   O(254) trivial host work).
 
 Multi-chip: chunks are partitioned across devices; each device produces
-partial window sums and the host (or an all_gather) combines W points per
-device -- point addition is not a `psum`-able monoid XLA knows, so the
-partial-sum combine rides the same tiny host path.
+partial window sums and the tiny per-device partials are combined on the
+host (point addition is not a psum-able XLA reduction).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 
@@ -56,7 +56,7 @@ NUM_BUCKETS = 1 << WINDOW_BITS
 class DeviceBasis:
     """CRS points resident on device: per-chunk (22, CHUNK) Montgomery Fq
     coordinate arrays + infinity masks, alongside the host affine list for
-    the small/fallback path."""
+    the small/fallback path (may be lazily materialized)."""
 
     affines: list
     x_chunks: list
@@ -98,7 +98,7 @@ def load_basis(affines: list) -> DeviceBasis:
 
 def slice_basis(basis: DeviceBasis, n: int) -> DeviceBasis:
     nch = (n + CHUNK - 1) // CHUNK
-    return DeviceBasis(affines=basis.affines[:n],
+    return DeviceBasis(affines=basis.affines[:n] if basis.affines else [],
                        x_chunks=basis.x_chunks[:nch],
                        y_chunks=basis.y_chunks[:nch],
                        inf_chunks=basis.inf_chunks[:nch],
@@ -106,7 +106,7 @@ def slice_basis(basis: DeviceBasis, n: int) -> DeviceBasis:
 
 
 # ---------------------------------------------------------------------------
-# kernels
+# kernels (each compiled once; host drives the log-step loops)
 # ---------------------------------------------------------------------------
 
 
@@ -127,137 +127,82 @@ def _extract_digits(scalars):
     return jnp.stack(outs, axis=0)
 
 
-def _seg_combine(a, b):
-    """Segmented-scan monoid over (point, flag): flag marks 'segment boundary
-    seen'; values right of a boundary ignore the left operand."""
-    (v1, f1) = a
-    (v2, f2) = b
-    s = ed.pt_add(v1, v2)
-    v = ed.pt_select(f2, v2, s)
-    return v, (f1 | f2)
+@jax.jit
+def _k_sort_gather(scalars, x, y, inf):
+    """digits -> sort -> gather; returns (sorted_digits (W,N),
+    points (3 x (22,W,N)) with dead lanes forced to the identity)."""
+    digits = _extract_digits(scalars)
+    iota = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
+    sorted_d, perm = jax.lax.sort_key_val(digits, iota, dimension=1)
+    gx = x[:, perm]
+    gy = y[:, perm]
+    ginf = inf[perm]
+    pts = ed.affine_to_projective(gx, gy, None)
+    dead = ginf | (sorted_d == 0)
+    pts = ed.pt_select(dead, ed.pt_identity(dead.shape), pts)
+    return sorted_d, pts[0], pts[1], pts[2]
 
 
-def _two_level_scan_tree(xs_point, xs_flag):
-    """Batched inclusive segmented scan along the last axis of point coords
-    shaped (22, W, N).  Two-level: sequential lax.scan within 256-element
-    blocks (vectorized over blocks), then block-offset scan, then combine."""
-    X, Y, Z = xs_point
-    W = X.shape[1]
-    N = X.shape[2]
-    bs = 256
-    nb = N // bs
-
-    def resh(a):
-        return jnp.moveaxis(a.reshape(L, W, nb, bs), 3, 0)  # (bs, 22, W, nb)
-
-    xs = ((resh(X), resh(Y), resh(Z)),
-          jnp.moveaxis(xs_flag.reshape(W, nb, bs), 2, 0))   # flag (bs, W, nb)
-
-    ident = ed.pt_identity((W, nb))
-    f0 = jnp.zeros((W, nb), dtype=bool)
-
-    def body(carry, x_t):
-        cur = _seg_combine(carry, x_t)
-        return cur, cur
-
-    (last_pt, last_f), (ys_pt, ys_f) = jax.lax.scan(body, (ident, f0), xs)
-    within = tuple(jnp.moveaxis(a, 0, 3).reshape(L, W, N) for a in ys_pt)
-    within_f = jnp.moveaxis(ys_f, 0, 2).reshape(W, N)
-
-    # exclusive block offsets
-    tot_xs = (tuple(jnp.moveaxis(a[:, :, :, None], 2, 0) for a in
-                    (last_pt[0], last_pt[1], last_pt[2])),
-              jnp.moveaxis(last_f[:, :, None], 1, 0))
-
-    ident1 = ed.pt_identity((W, 1))
-    f01 = jnp.zeros((W, 1), dtype=bool)
-
-    def body2(carry, t):
-        return _seg_combine(carry, t), carry
-
-    _, (off_pt, off_f) = jax.lax.scan(body2, (ident1, f01), tot_xs)
-    offs = tuple(jnp.broadcast_to(
-        jnp.moveaxis(a, 0, 2).reshape(L, W, nb, 1), (L, W, nb, bs)).reshape(
-            L, W, N) for a in off_pt)
-    offs_f = jnp.broadcast_to(
-        jnp.moveaxis(off_f, 0, 1).reshape(W, nb, 1), (W, nb, bs)).reshape(W, N)
-
-    out, _ = _seg_combine((offs, offs_f), (within, within_f))
+@jax.jit
+def _k_seg_scan_step(px, py, pz, seg, shift):
+    """One Hillis-Steele segmented-scan step along the last axis:
+    v[i] += v[i - shift] where seg[i] == seg[i - shift] and i >= shift.
+    `seg` must be sorted so equal ids are contiguous.  Pass a constant `seg`
+    to get an *unsegmented* scan."""
+    n = seg.shape[-1]
+    v = (px, py, pz)
+    rolled = tuple(jnp.roll(c, shift, axis=-1) for c in v)
+    seg_rolled = jnp.roll(seg, shift, axis=-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, seg.shape, seg.ndim - 1)
+    ok = (idx >= shift) & (seg == seg_rolled)
+    combined = ed.pt_add(v, rolled)
+    out = ed.pt_select(ok, combined, v)
     return out
 
 
 @jax.jit
-def _k_msm_chunk(scalars, x, y, inf, acc_x, acc_y, acc_z):
-    """One chunk of the MSM: digits -> sort -> gather -> segmented scan ->
-    bucket scatter -> accumulate into the running bucket arrays
-    (22, W, NUM_BUCKETS)."""
-    digits = _extract_digits(scalars)                      # (W, N)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (NUM_WINDOWS, CHUNK), 1)
-    sorted_d, perm = jax.lax.sort_key_val(digits, iota, dimension=1)
+def _k_bucket_gather_acc(sorted_d, px, py, pz, acc_x, acc_y, acc_z):
+    """Collect per-segment totals into dense (22, W, NUM_BUCKETS) bucket
+    arrays by *gathering*: with sorted digits, bucket d's total sits at the
+    last occurrence of d, found with a batched searchsorted -- gathers lower
+    far better than scatters on TPU."""
+    queries = jax.lax.broadcasted_iota(jnp.int32, (NUM_WINDOWS, NUM_BUCKETS),
+                                       1)
+    # position of last element <= d: searchsorted right - 1
+    pos = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="right"))(
+        sorted_d, queries) - 1                     # (W, NB), may be -1
+    pos_c = jnp.maximum(pos, 0)
+    widx = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+    # gather along the flattened (W*N) axis
+    flat_pos = (widx * CHUNK + pos_c).reshape(-1)
 
-    # gather points into sorted order, per window: (22, W, N)
-    gx = x[:, perm]
-    gy = y[:, perm]
-    ginf = inf[perm]                                       # (W, N)
+    def gather_coord(c):
+        flat = c.reshape(L, -1)
+        return flat[:, flat_pos].reshape(L, NUM_WINDOWS, NUM_BUCKETS)
 
-    pts = ed.affine_to_projective(gx, gy, None)
-    # force digit-0 and infinity points to the identity so they vanish
-    dead = ginf | (sorted_d == 0)
-    pts = ed.pt_select(dead, ed.pt_identity(dead.shape), pts)
-
-    # segment starts where the digit changes
-    prev = jnp.concatenate([jnp.full((NUM_WINDOWS, 1), -1, jnp.int32),
-                            sorted_d[:, :-1]], axis=1)
-    flags = sorted_d != prev
-
-    scanned = _two_level_scan_tree(pts, flags)
-
-    # segment ends: last position of each digit -> scatter into buckets
-    nxt = jnp.concatenate([sorted_d[:, 1:],
-                           jnp.full((NUM_WINDOWS, 1), -1, jnp.int32)], axis=1)
-    boundary = sorted_d != nxt
-    idx = jnp.where(boundary, sorted_d, NUM_BUCKETS)       # OOB sentinel
-    widx = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
-    flat_idx = (widx * NUM_BUCKETS + idx).reshape(-1)
-    oob = (idx == NUM_BUCKETS).reshape(-1)
-    flat_idx = jnp.where(oob, NUM_WINDOWS * NUM_BUCKETS, flat_idx)
-
-    ident = ed.pt_identity((NUM_WINDOWS * NUM_BUCKETS,))
-    new_buckets = []
-    for coord, iv in zip(scanned, ident):
-        flat = coord.reshape(L, -1)
-        nb = iv.at[:, flat_idx].set(flat, mode="drop")
-        new_buckets.append(nb.reshape(L, NUM_WINDOWS, NUM_BUCKETS))
-
-    acc = (acc_x, acc_y, acc_z)
-    new_acc = ed.pt_add(acc, tuple(new_buckets))
-    return new_acc
+    gathered = tuple(gather_coord(c) for c in (px, py, pz))
+    # valid iff the element at pos actually has digit d and pos >= 0
+    d_at_pos = sorted_d.reshape(-1)[flat_pos].reshape(NUM_WINDOWS, NUM_BUCKETS)
+    valid = (pos >= 0) & (d_at_pos == queries)
+    ident = ed.pt_identity((NUM_WINDOWS, NUM_BUCKETS))
+    new_buckets = ed.pt_select(valid, gathered, ident)
+    return ed.pt_add((acc_x, acc_y, acc_z), new_buckets)
 
 
 @jax.jit
-def _k_bucket_reduce(acc_x, acc_y, acc_z):
-    """Triangle bucket reduction, batched over windows:
-    window_w = sum_b b * S_{w,b} = sum_{k>=1} suffix_{w,k}.
-    Returns (22, W) coordinate arrays of the per-window results."""
-    acc = (acc_x, acc_y, acc_z)
-    # suffix inclusive point scan along the bucket axis (reverse + scan)
-    rev = tuple(a[:, :, ::-1] for a in acc)
-    flags = jnp.zeros((NUM_WINDOWS, NUM_BUCKETS), dtype=bool)
-    suf = _two_level_scan_tree(rev, flags)
-    suf = tuple(a[:, :, ::-1] for a in suf)
-    # drop suffix_0 (bucket 0 is the zero digit): sum suffix[1:]
-    tail = tuple(a[:, :, 1:] for a in suf)
-    # reduce along bucket axis with a two-level scan; take the last element
-    flags2 = jnp.zeros((NUM_WINDOWS, NUM_BUCKETS - 1), dtype=bool)
-    # pad to a power-of-two-friendly length for the blocked scan
-    pad = (-(NUM_BUCKETS - 1)) % 256
-    ident_pad = ed.pt_identity((NUM_WINDOWS, pad))
-    tail = tuple(jnp.concatenate([a, b], axis=2)
-                 for a, b in zip(tail, ident_pad))
-    flags2 = jnp.concatenate(
-        [flags2, jnp.zeros((NUM_WINDOWS, pad), dtype=bool)], axis=1)
-    red = _two_level_scan_tree(tail, flags2)
-    return tuple(a[:, :, -1] for a in red)
+def _k_reverse_buckets(acc_x, acc_y, acc_z):
+    return acc_x[:, :, ::-1], acc_y[:, :, ::-1], acc_z[:, :, ::-1]
+
+
+@jax.jit
+def _k_take_last(px, py, pz):
+    return px[:, :, -1], py[:, :, -1], pz[:, :, -1]
+
+
+@jax.jit
+def _k_drop_bucket0_total(suf_x, suf_y, suf_z, red_x, red_y, red_z):
+    """window = total_triangle - suffix_1?  Not needed -- see driver."""
+    return suf_x, suf_y, suf_z
 
 
 # ---------------------------------------------------------------------------
@@ -265,24 +210,63 @@ def _k_bucket_reduce(acc_x, acc_y, acc_z):
 # ---------------------------------------------------------------------------
 
 
+def _hs_scan(pts, seg, n: int):
+    """Full segmented inclusive scan: log2(n) step-kernel dispatches.  The
+    shift is passed as a device scalar so every step reuses one compiled
+    kernel."""
+    shift = 1
+    while shift < n:
+        pts = _k_seg_scan_step(*pts, seg, jnp.int32(shift))
+        shift *= 2
+    return pts
+
+
+_ZERO_SEG_CACHE: dict = {}
+
+
+def _zero_seg(shape):
+    if shape not in _ZERO_SEG_CACHE:
+        _ZERO_SEG_CACHE[shape] = jnp.zeros(shape, dtype=jnp.int32)
+    return _ZERO_SEG_CACHE[shape]
+
+
 def msm_device(basis: DeviceBasis, scalar_chunks: list, length: int):
     """scalar_chunks: canonical (non-Montgomery) limb chunks (22, CHUNK).
     Returns a host `ec.curve.Jacobian`."""
     from ..fields.limbs import limbs_to_ints
+    from ..fields.scalar import inv as sinv
     from . import curve
 
     acc = ed.pt_identity((NUM_WINDOWS, NUM_BUCKETS))
     for j, sc in enumerate(scalar_chunks):
-        acc = _k_msm_chunk(sc, basis.x_chunks[j], basis.y_chunks[j],
-                           basis.inf_chunks[j], *acc)
-    wx, wy, wz = _k_bucket_reduce(*acc)
+        sorted_d, px, py, pz = _k_sort_gather(
+            sc, basis.x_chunks[j], basis.y_chunks[j], basis.inf_chunks[j])
+        pts = _hs_scan((px, py, pz), sorted_d, CHUNK)
+        acc = _k_bucket_gather_acc(sorted_d, *pts, *acc)
+
+    # triangle reduction: suffix scan over buckets (reverse + plain scan),
+    # then sum suffix_k for k >= 1 == (total of all suffixes) - suffix_0;
+    # suffix_0 is the sum of ALL buckets incl. bucket 0 -- but bucket 0 was
+    # already forced to the identity per chunk (dead lanes), so
+    # sum_{k>=1} suffix_k = total_sum_of_suffixes - suffix_0.
+    rev = _k_reverse_buckets(*acc)
+    suf_rev = _hs_scan(rev, _zero_seg((NUM_WINDOWS, NUM_BUCKETS)), NUM_BUCKETS)
+    # suf_rev[..., i] = sum of buckets >= (NUM_BUCKETS-1-i); full prefix scan
+    # of the reversed array.  suffix_k corresponds to suf_rev[..., NB-1-k].
+    # Reduce all suffix_k for k >= 1: scan the suffix array again.
+    # Simpler: total = sum_k suffix_k for k in 1..NB-1; compute by another
+    # plain scan over suf (excluding k=0) and take the last element.
+    suf = _k_reverse_buckets(*suf_rev)           # suf[..., k] = suffix_k
+    tail = tuple(c[:, :, 1:] for c in suf)       # k >= 1, length NB-1
+    red = _hs_scan(tail, _zero_seg((NUM_WINDOWS, NUM_BUCKETS - 1)),
+                   NUM_BUCKETS - 1)
+    wx, wy, wz = _k_take_last(*red)
 
     # host combine: W points, c doublings between windows
     fm = jax.jit(lambda a: fd.from_mont(a, fd.FQ))
     X = limbs_to_ints(np.asarray(fm(wx)))
     Y = limbs_to_ints(np.asarray(fm(wy)))
     Z = limbs_to_ints(np.asarray(fm(wz)))
-    from ..fields.scalar import inv as sinv
 
     windows = []
     for xx, yy, zz in zip(X, Y, Z):

@@ -156,17 +156,21 @@ class HostEngine:
         return acc
 
     def poly_mul(self, a, b):
-        """Coefficient-space product via Kronecker substitution on big ints
-        (replaces the reference's O(d^2) naive product,
-        `/root/reference/pcs/src/ipa.rs:147-148`, on the host path)."""
+        """Coefficient-space product (replaces the reference's O(d^2) naive
+        product, `/root/reference/pcs/src/ipa.rs:147-148`, on the host path):
+        Kronecker substitution on big ints for small sizes, exact NTT above."""
         la, lb = len(a), len(b)
         if la == 0 or lb == 0:
             return self.vec_from_ints([])
+        out_len = la + lb - 1
+        if out_len > 4096:
+            out = _ntt_mul_host([int(x) for x in a], [int(x) for x in b])
+            return self.vec_from_ints(out[:out_len])
         nbits = 2 * 254 + (max(la, lb)).bit_length() + 1
         pa = _pack(a, nbits)
         pb = _pack(b, nbits)
         prod = pa * pb
-        out = _unpack(prod, nbits, la + lb - 1)
+        out = _unpack(prod, nbits, out_len)
         return self.vec_from_ints(out)
 
     def quotient_by_linear(self, coeffs, x: int):
@@ -195,6 +199,56 @@ class HostEngine:
 
     def msm(self, basis, scalars) -> curve.Jacobian:
         return curve.msm_host(basis, [int(s) for s in scalars])
+
+
+def _ntt_host(vals: list[int], invert: bool) -> list[int]:
+    """Iterative radix-2 NTT over Fr on Python ints (exact)."""
+    from ..fields.bn254 import FR_ROOT_OF_UNITY, FR_TWO_ADICITY
+
+    n = len(vals)
+    logn = n.bit_length() - 1
+    a = list(vals)
+    # bit-reversal permutation
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    root = pow(FR_ROOT_OF_UNITY, 1 << (FR_TWO_ADICITY - logn), R)
+    if invert:
+        root = pow(root, R - 2, R)
+    length = 2
+    while length <= n:
+        w_len = pow(root, n // length, R)
+        for start in range(0, n, length):
+            w = 1
+            half = length // 2
+            for k in range(start, start + half):
+                u = a[k]
+                v = a[k + half] * w % R
+                a[k] = (u + v) % R
+                a[k + half] = (u - v) % R
+                w = w * w_len % R
+        length <<= 1
+    if invert:
+        n_inv = pow(n, R - 2, R)
+        a = [x * n_inv % R for x in a]
+    return a
+
+
+def _ntt_mul_host(a: list[int], b: list[int]) -> list[int]:
+    out_len = len(a) + len(b) - 1
+    n = 1
+    while n < out_len:
+        n <<= 1
+    fa = _ntt_host(a + [0] * (n - len(a)), False)
+    fb = _ntt_host(b + [0] * (n - len(b)), False)
+    fc = [x * y % R for x, y in zip(fa, fb)]
+    return _ntt_host(fc, True)
 
 
 def _pack(coeffs, nbits: int) -> int:

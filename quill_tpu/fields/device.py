@@ -179,9 +179,10 @@ def _mul_cols_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full product columns of two stacked limb arrays: a (22, ...),
     b (22, ...) or (22, 1)-broadcastable -> (43, ...) column sums.
 
-    Compact form: a fori_loop over the 22 a-limbs, each iteration adding
-    a[i] * b into the 22-column window at offset i of a 43-column
-    accumulator -- O(1) traced ops, exact column sums (< 22 * 2^24)."""
+    Static form: 22 window accumulations a[i] * b -> columns [i, i+22), each
+    a single whole-array multiply + static-slice add.  No control flow (XLA
+    compile time for these kernels is dominated by nested loops, and the
+    static graph also fuses best); column sums stay < 22 * 2^24."""
     import jax
 
     batch = a.shape[1:]
@@ -193,8 +194,23 @@ def _mul_cols_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         window = window + a[i] * b_b
         return jax.lax.dynamic_update_slice_in_dim(acc, window, i, axis=0)
 
-    acc = jax.lax.fori_loop(0, L, body, acc)
-    return acc[:2 * L - 1]
+    return jax.lax.fori_loop(0, L, body, acc)[:2 * L - 1]
+
+
+def carry_stack(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
+    """Unrolled exact carry propagation on a stacked (K, ...) column array ->
+    (out_limbs, ...) canonical limbs.  Final carry out of the top limb is
+    dropped (callers guarantee it is zero or work mod R)."""
+    k = cols.shape[0]
+    out = []
+    carry = None
+    for i in range(out_limbs):
+        v = cols[i] if i < k else jnp.zeros_like(cols[0])
+        if carry is not None:
+            v = v + carry
+        out.append(v & MASK)
+        carry = v >> B
+    return jnp.stack(out, axis=0)
 
 
 
@@ -214,16 +230,16 @@ def mont_mul_const(a: jnp.ndarray, c_mont: np.ndarray, spec: FieldSpec) -> jnp.n
 
 def _redc_stacked(t: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     """One-shot Montgomery reduction of stacked product columns (43, ...)
-    -> (22, ...) canonical limbs.  Same math as `_redc`, compact graph."""
+    -> (22, ...) canonical limbs."""
     batch = t.shape[1:]
-    t_low = carry_scan(t[:L], L)                           # t mod R, 12-bit
+    t_low = carry_stack(t[:L], L)                          # t mod R, 12-bit
     pp = jnp.asarray(spec.p_prime_limbs).reshape((L,) + (1,) * len(batch))
     m_cols = _mul_cols_full(t_low, pp)
-    m = carry_scan(m_cols[:L], L)                          # (t p') mod R
+    m = carry_stack(m_cols[:L], L)                         # (t p') mod R
     p = jnp.asarray(spec.p_limbs).reshape((L,) + (1,) * len(batch))
     mp = _mul_cols_full(m, p)                              # (43, ...)
     total = t + mp
-    norm = carry_scan(total, 2 * L)                        # low 22 limbs == 0
+    norm = carry_stack(total, 2 * L)                       # low 22 limbs == 0
     hi = [norm[L + i] for i in range(L)]
     return _stack(_sub_p_if_ge(hi, spec))
 

@@ -1,0 +1,195 @@
+"""Sharded (multi-chip) sumcheck and MSM phases.
+
+This is the jax.sharding / GSPMD expression of the engine's device phases:
+plain shape-polymorphic jnp programs over (k, 22, N) limb arrays whose element
+axis carries a `NamedSharding` over the mesh -- XLA partitions the elementwise
+field kernels trivially and turns the message-sum reductions into ICI psums.
+The LSB-binding fold keeps every pair local to a shard (high index bits =
+device id), so *no* resharding happens until the table collapses to the host
+tail (SURVEY §5 "long-context" analogue).
+
+Used by the full prover when a mesh is configured, and by the driver's
+`dryrun_multichip` entry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..fields.bn254 import R
+from ..utils.jaxcfg import configure_jax
+
+configure_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ..fields import device as fd  # noqa: E402
+from ..fields.limbs import ints_to_limbs  # noqa: E402
+
+SPEC = fd.FR
+L = fd.L
+
+
+def _emit_stacked(expr, tables, consts, counter):
+    """Evaluate an expression over stacked tables (k, 22, ...)."""
+    from ..piops import virtual_poly as vp
+
+    if isinstance(expr, vp.Input):
+        return tables[expr.index]
+    if isinstance(expr, vp.Const):
+        k = counter[0]
+        counter[0] += 1
+        some = next(iter(tables.values()))
+        return jnp.broadcast_to(consts[k][:, None], some.shape)
+    if isinstance(expr, vp.Add):
+        return fd.add(_emit_stacked(expr.left, tables, consts, counter),
+                      _emit_stacked(expr.right, tables, consts, counter), SPEC)
+    if isinstance(expr, vp.Mul):
+        return fd.mont_mul(_emit_stacked(expr.left, tables, consts, counter),
+                           _emit_stacked(expr.right, tables, consts, counter),
+                           SPEC)
+    raise TypeError(f"unknown expr node {expr!r}")
+
+
+def build_round_fn(expr, used: tuple, degree: int):
+    """Returns fn(tables (n_used, 22, N), consts (nc, 22, 1), r (22, 1)) ->
+    (msums (degree+1, 22) int32 lazy sums, folded (n_used, 22, N/2)).
+
+    One fused program per round: message evaluation at t = 0..degree and the
+    fold at the *previous* round's challenge are separate calls at the
+    protocol level (the challenge depends on the message), so this returns
+    two functions instead.
+    """
+
+    t_np = np.stack([ints_to_limbs([t * ((1 << fd.R_BITS) % R) % R])
+                     for t in range(degree + 1)], axis=1)  # (22, T, 1)
+
+    def messages(tables, consts):
+        # tables: (n_used, 22, N)
+        lo = tables[:, :, 0::2][:, :, None, :]     # (k, 22, 1, N/2)
+        hi = tables[:, :, 1::2][:, :, None, :]
+        diff = fd.sub(hi, lo, SPEC)
+        t_col = jnp.asarray(t_np)[None]            # (1, 22, T, 1)
+        shape = (tables.shape[0], L, degree + 1, tables.shape[2] // 2)
+        vals_all = fd.add(jnp.broadcast_to(lo, shape),
+                          fd.mont_mul(jnp.broadcast_to(t_col, shape),
+                                      jnp.broadcast_to(diff, shape), SPEC),
+                          SPEC)
+        tab_map = {idx: vals_all[i] for i, idx in enumerate(used)}
+        h = _emit_stacked(expr, tab_map, consts, [0])   # (22, T, N/2)
+        return jnp.sum(h, axis=2).transpose(1, 0)       # (T, 22)
+
+    def fold(tables, r_col):
+        lo = tables[:, :, 0::2]
+        hi = tables[:, :, 1::2]
+        return fd.add(lo, fd.mont_mul(
+            jnp.broadcast_to(r_col[None], lo.shape),
+            fd.sub(hi, lo, SPEC), SPEC), SPEC)
+
+    return messages, fold
+
+
+class ShardedSumcheck:
+    """Runs sumcheck rounds on a mesh until the table fits one host tail.
+
+    Tables enter as one stacked, sharded (n_used, 22, N) array; each round is
+    two sharded XLA programs (messages, fold).  The (deg+1, 22) lazy limb
+    sums are psum'd by XLA as part of the jnp.sum over the sharded axis.
+    """
+
+    def __init__(self, mesh, expr, used, degree, consts_np):
+        from .mesh import shard_tables
+
+        self.mesh = mesh
+        self.degree = degree
+        self.sharding = shard_tables(mesh)
+        self.consts = jnp.asarray(consts_np)
+        msgs, fold = build_round_fn(expr, used, degree)
+        self._msgs = jax.jit(msgs)
+        self._fold = jax.jit(fold)
+
+    def messages(self, tables) -> list[int]:
+        from ..engine.device import _lazy_to_int
+
+        out = np.asarray(self._msgs(tables, self.consts), dtype=np.int64)
+        return [_lazy_to_int(out[t]) for t in range(self.degree + 1)]
+
+    def fold(self, tables, r: int):
+        r_col = jnp.asarray(
+            ints_to_limbs([r * ((1 << fd.R_BITS) % R) % R]))
+        return self._fold(tables, r_col)
+
+    @staticmethod
+    def stack_tables(mesh, host_tables: list[list[int]]):
+        """Host int tables -> stacked sharded device array (k, 22, N) in
+        Montgomery form."""
+        from .mesh import shard_tables
+
+        arrs = []
+        for t in host_tables:
+            arrs.append(ints_to_limbs([int(x) % R for x in t]))
+        raw = jnp.asarray(np.stack(arrs, axis=0))
+        sharded = jax.device_put(raw, shard_tables(mesh))
+        return jax.jit(_to_mont_stacked,
+                       out_shardings=shard_tables(mesh))(sharded)
+
+
+@jax.jit
+def _to_mont_stacked(x):
+    # x: (k, 22, N) canonical -> Montgomery, batched over k
+    return jax.vmap(lambda t: fd.to_mont(t, SPEC))(x)
+
+
+# -- sharded MSM partials ----------------------------------------------------
+
+
+def sharded_msm_partials(mesh, scalars, base_x, base_y):
+    """Partitioned MSM: scalars/points split over the mesh axis; each device
+    computes its exact partial sum (vectorized double-and-add over the 254
+    scalar bits, then a local point reduction), and the per-device partial
+    points are gathered for the tiny host combine -- point addition is not
+    an XLA reduction, so the cross-device combine is W-points-small by
+    design (same structure as the chunked production MSM).
+
+    scalars: (22, N) canonical limbs; base_x/base_y: (22, N) Montgomery
+    affine coordinates.  Returns (ndev, 22, 1) coordinate arrays.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ec import device as ed
+
+    def per_shard(sc, bx, by):
+        n_local = sc.shape[1]
+        base = ed.affine_to_projective(bx, by, None)
+        acc = ed.pt_identity((n_local,))
+
+        def bit_body(b, state):
+            acc, base = state
+            limb = b // 12
+            sh = b % 12
+            bit = (jax.lax.dynamic_index_in_dim(sc, limb, axis=0,
+                                                keepdims=False) >> sh) & 1
+            added = ed.pt_add(acc, base)
+            acc = ed.pt_select(bit.astype(bool), added, acc)
+            return acc, ed.pt_add(base, base)
+
+        acc, _ = jax.lax.fori_loop(0, 254, bit_body, (acc, base))
+
+        # local reduction to a single point
+        def red_body(i, total):
+            pt_i = tuple(jax.lax.dynamic_slice_in_dim(c, i, 1, axis=1)
+                         for c in acc)
+            return ed.pt_add(total, pt_i)
+
+        total = jax.lax.fori_loop(0, n_local, red_body,
+                                  ed.pt_identity((1,)))
+        return tuple(c[None] for c in total)   # (1, 22, 1)
+
+    shard_fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, "x"), P(None, "x"), P(None, "x")),
+        out_specs=(P("x", None, None),) * 3)
+    return jax.jit(shard_fn)(scalars, base_x, base_y)
