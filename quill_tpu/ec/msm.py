@@ -221,6 +221,85 @@ def _hs_scan(pts, seg, n: int):
     return pts
 
 
+# -- work-efficient segmented scan (two-level lax.scan) ----------------------
+#
+# The Hillis-Steele variant above does N log N point additions; this one does
+# ~2N: a sequential lax.scan within 256-element blocks (vectorized over
+# blocks and windows), a block-offset scan, and one combine.  lax.scan with a
+# point-addition body compiles fine on the TPU backend (the CPU backend
+# chokes, hence both variants behind QUILL_MSM_SCAN).
+
+
+def _seg_combine(a, b):
+    (v1, f1) = a
+    (v2, f2) = b
+    s = ed.pt_add(v1, v2)
+    v = ed.pt_select(f2, v2, s)
+    return v, (f1 | f2)
+
+
+@jax.jit
+def _k_seg_scan_2level(px, py, pz, flags):
+    """Batched segmented inclusive scan along the last axis of (22, W, N)
+    coords; flags (W, N) mark segment starts."""
+    X, Y, Z = px, py, pz
+    W = X.shape[1]
+    N = X.shape[2]
+    bs = 256
+    nb = N // bs
+
+    def resh(a):
+        return jnp.moveaxis(a.reshape(L, W, nb, bs), 3, 0)
+
+    xs = ((resh(X), resh(Y), resh(Z)),
+          jnp.moveaxis(flags.reshape(W, nb, bs), 2, 0))
+
+    ident = ed.pt_identity((W, nb))
+    f0 = jnp.zeros((W, nb), dtype=bool)
+
+    def body(carry, x_t):
+        cur = _seg_combine(carry, x_t)
+        return cur, cur
+
+    (last_pt, last_f), (ys_pt, ys_f) = jax.lax.scan(body, (ident, f0), xs)
+    within = tuple(jnp.moveaxis(a, 0, 3).reshape(L, W, N) for a in ys_pt)
+    within_f = jnp.moveaxis(ys_f, 0, 2).reshape(W, N)
+
+    tot_xs = (tuple(jnp.moveaxis(a[:, :, :, None], 2, 0)
+                    for a in last_pt),
+              jnp.moveaxis(last_f[:, :, None], 1, 0))
+
+    ident1 = ed.pt_identity((W, 1))
+    f01 = jnp.zeros((W, 1), dtype=bool)
+
+    def body2(carry, t):
+        return _seg_combine(carry, t), carry
+
+    _, (off_pt, off_f) = jax.lax.scan(body2, (ident1, f01), tot_xs)
+    offs = tuple(jnp.broadcast_to(
+        jnp.moveaxis(a, 0, 2).reshape(L, W, nb, 1), (L, W, nb, bs)).reshape(
+            L, W, N) for a in off_pt)
+    offs_f = jnp.broadcast_to(
+        jnp.moveaxis(off_f, 0, 1).reshape(W, nb, 1), (W, nb, bs)).reshape(W, N)
+
+    out, _ = _seg_combine((offs, offs_f), (within, within_f))
+    return out
+
+
+def _seg_scan(pts, seg, n: int):
+    """Dispatch between scan strategies (env QUILL_MSM_SCAN: 'scan'
+    (default, work-efficient) or 'hs')."""
+    import os
+
+    if os.environ.get("QUILL_MSM_SCAN", "scan") == "hs":
+        return _hs_scan(pts, seg, n)
+    prev = jnp.concatenate(
+        [jnp.full(seg.shape[:-1] + (1,), -1, jnp.int32), seg[..., :-1]],
+        axis=-1)
+    flags = seg != prev
+    return _k_seg_scan_2level(*pts, flags)
+
+
 _ZERO_SEG_CACHE: dict = {}
 
 
@@ -241,7 +320,7 @@ def msm_device(basis: DeviceBasis, scalar_chunks: list, length: int):
     for j, sc in enumerate(scalar_chunks):
         sorted_d, px, py, pz = _k_sort_gather(
             sc, basis.x_chunks[j], basis.y_chunks[j], basis.inf_chunks[j])
-        pts = _hs_scan((px, py, pz), sorted_d, CHUNK)
+        pts = _seg_scan((px, py, pz), sorted_d, CHUNK)
         acc = _k_bucket_gather_acc(sorted_d, *pts, *acc)
 
     # triangle reduction: suffix scan over buckets (reverse + plain scan),

@@ -183,18 +183,23 @@ def _mul_cols_full(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a single whole-array multiply + static-slice add.  No control flow (XLA
     compile time for these kernels is dominated by nested loops, and the
     static graph also fuses best); column sums stay < 22 * 2^24."""
-    import jax
-
-    batch = a.shape[1:]
-    b_b = jnp.broadcast_to(b, (L,) + batch)
-    acc = jnp.zeros((2 * L,) + batch, dtype=jnp.int32)
-
-    def body(i, acc):
-        window = jax.lax.dynamic_slice_in_dim(acc, i, L, axis=0)
-        window = window + a[i] * b_b
-        return jax.lax.dynamic_update_slice_in_dim(acc, window, i, axis=0)
-
-    return jax.lax.fori_loop(0, L, body, acc)[:2 * L - 1]
+    # Unrolled per-column accumulation: 484 elementwise multiplies that XLA
+    # fuses into one loop over the batch -- no sliding-window accumulator
+    # (dynamic-update-slice variants force large intermediate copies), no
+    # scatters (pathological compile).  Compile cost is one-time per kernel
+    # and persisted by the compilation cache.
+    if b.shape != a.shape:
+        b = jnp.broadcast_to(b, a.shape)
+    la = [a[i] for i in range(L)]
+    lb = [b[j] for j in range(L)]
+    cols = [None] * (2 * L - 1)
+    for i in range(L):
+        ai = la[i]
+        for j in range(L):
+            prod = ai * lb[j]
+            k = i + j
+            cols[k] = prod if cols[k] is None else cols[k] + prod
+    return jnp.stack(cols, axis=0)
 
 
 def carry_stack(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
