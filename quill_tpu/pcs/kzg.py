@@ -70,6 +70,39 @@ class KZG:
         g2_points = [g2, g2.scalar_mul(tau)]
         return KZG(engine, max_degree, g1_points, g2_points, g1, g2)
 
+    @staticmethod
+    def device_setup(engine, max_degree: int, tau: int | None = None,
+                     seed: int = 0) -> "KZG":
+        """CRS generated on device: fixed-base tau-power kernel
+        (`ec/fixed_base.py`) -- minutes of host EC become ~seconds on chip."""
+        import hashlib
+
+        import jax.numpy as jnp
+
+        from ..ec import msm as msm_mod
+        from ..ec.fixed_base import device_tau_powers
+
+        if tau is None:
+            tau = int.from_bytes(
+                hashlib.sha256(b"quill-tpu-trusted-setup"
+                               + seed.to_bytes(8, "little")).digest(),
+                "little") % R
+        xs, ys = device_tau_powers(tau, max_degree + 1)
+        inf = [jnp.zeros((msm_mod.CHUNK,), bool) for _ in xs]
+        basis = msm_mod.DeviceBasis(affines=None, x_chunks=xs, y_chunks=ys,
+                                    inf_chunks=inf, length=max_degree + 1)
+        g1 = curve.g1_generator()
+        g2 = curve.g2_generator()
+        kzg = KZG.__new__(KZG)
+        kzg.engine = engine
+        kzg.max_degree = max_degree
+        kzg.g1 = g1
+        kzg.g2 = g2
+        kzg.g1_points = None
+        kzg.g2_points = [g2, g2.scalar_mul(tau)]
+        kzg._basis = basis
+        return kzg
+
     # -- core ops ------------------------------------------------------------
 
     def commit(self, poly) -> curve.Jacobian:
