@@ -28,30 +28,13 @@ MASK = fd.MASK
 
 
 def _small_mul(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k*x mod p for tiny k (k <= 16), canonical limbs in/out.  Works in the
-    Montgomery domain (linear map)."""
+    """k*x for tiny k (k <= 16) in the lazy domain: one full-width limb
+    scale + carry round + partial reduction."""
     assert 1 <= k <= 16
-    la = [x[i] * k for i in range(L)]          # limbs < 16 * 4095 < 2^16
-    la = fd.carry_chain(la, L + 1)
-    # value < 16p < 2^258: fold the spill limb (16p fits in 22 limbs)
-    spill = la[L]
-    la = la[:L]
-    la[L - 1] = la[L - 1] + (spill << B)
-    la = fd.carry_chain(la, L)
-    # reduce by binary-weighted conditional subtracts: 8p, 4p, 2p, p
-    for m in (8, 4, 2, 1):
-        if m < k:  # value < k*p, so larger multiples can't trigger
-            la = fd._sub_const_if_ge(la, _P_MULT_LIMBS[m])
-    return jnp.stack(la, axis=0)
-
-
-def _p_mult_limbs():
-    from ..fields.limbs import int_to_limbs
-
-    return {m: np.asarray(int_to_limbs(m * P)) for m in (1, 2, 4, 8)}
-
-
-_P_MULT_LIMBS = _p_mult_limbs()
+    # lazy limbs |.| < ~2^13.2, so k*limbs < 2^17.2 -- one carry round
+    # restores ~12-bit limbs; value < k * 2.2p, reduced back to < 2.2p
+    y = fd._carry_round(x * k, mod_r=False)
+    return fd.lazy_reduce(y, FQ)
 
 
 def pt_identity(shape) -> tuple:

@@ -161,10 +161,9 @@ def _batch_normalize(points_per_chunk: list):
     from ..fields.limbs import limbs_to_ints
     from ..fields.scalar import inv as sinv
 
-    R_INV_Q = pow(1 << fd.R_BITS, -1, P)
     p_scans = [_k_prefix_fq(p[2]) for p in points_per_chunk]
     s_scans = [_k_suffix_fq(p[2]) for p in points_per_chunk]
-    totals = [limbs_to_ints(np.asarray(ps[:, -1:]))[0] * R_INV_Q % P
+    totals = [fd.host_col_to_int(np.asarray(ps[:, -1:]), P)
               for ps in p_scans]
     total_all = 1
     for t in totals:

@@ -239,9 +239,11 @@ def _seg_combine(a, b):
 
 
 @jax.jit
-def _k_seg_scan_2level(px, py, pz, flags):
-    """Batched segmented inclusive scan along the last axis of (22, W, N)
-    coords; flags (W, N) mark segment starts."""
+def _k_seg_scan_blocks(px, py, pz, flags):
+    """Stage 1 of the work-efficient segmented scan: within-block (256)
+    sequential scans, vectorized over blocks and windows.  Returns the
+    within-block inclusive scans, their flag-prefix, and per-block exclusive
+    offsets (computed by a second tiny scan over block totals)."""
     X, Y, Z = px, py, pz
     W = X.shape[1]
     N = X.shape[2]
@@ -276,14 +278,29 @@ def _k_seg_scan_2level(px, py, pz, flags):
         return _seg_combine(carry, t), carry
 
     _, (off_pt, off_f) = jax.lax.scan(body2, (ident1, f01), tot_xs)
-    offs = tuple(jnp.broadcast_to(
-        jnp.moveaxis(a, 0, 2).reshape(L, W, nb, 1), (L, W, nb, bs)).reshape(
-            L, W, N) for a in off_pt)
-    offs_f = jnp.broadcast_to(
-        jnp.moveaxis(off_f, 0, 1).reshape(W, nb, 1), (W, nb, bs)).reshape(W, N)
+    offs = tuple(jnp.moveaxis(a, 0, 2).reshape(L, W, nb) for a in off_pt)
+    offs_f = jnp.moveaxis(off_f, 0, 1).reshape(W, nb)
+    return within, within_f, offs, offs_f
 
-    out, _ = _seg_combine((offs, offs_f), (within, within_f))
+
+@jax.jit
+def _k_seg_scan_combine(wx, wy, wz, wf, ox, oy, oz, of_):
+    """Stage 2: broadcast-combine block offsets into the within-block scans
+    (separate kernel to halve peak HBM)."""
+    W = wx.shape[1]
+    N = wx.shape[2]
+    nb = ox.shape[2]
+    bs = N // nb
+    offs = tuple(jnp.broadcast_to(a[:, :, :, None], (L, W, nb, bs)).reshape(
+        L, W, N) for a in (ox, oy, oz))
+    offs_f = jnp.broadcast_to(of_[:, :, None], (W, nb, bs)).reshape(W, N)
+    out, _ = _seg_combine((offs, offs_f), ((wx, wy, wz), wf))
     return out
+
+
+def _k_seg_scan_2level(px, py, pz, flags):
+    within, within_f, offs, offs_f = _k_seg_scan_blocks(px, py, pz, flags)
+    return _k_seg_scan_combine(*within, within_f, *offs, offs_f)
 
 
 def _seg_scan(pts, seg, n: int):

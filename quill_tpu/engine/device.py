@@ -468,11 +468,8 @@ class TpuEngine:
         p_scans = [_k_prefix_mul_scan(c) for c in v.chunks]
         s_scans = [_k_suffix_mul_scan(c) for c in v.chunks]
         # chunk totals (exact host ints, from Montgomery rep)
-        totals = []
-        for ps in p_scans:
-            limb_col = np.asarray(ps[:, -1:])
-            val = limbs_to_ints(limb_col)[0] * R_INV % R
-            totals.append(val)
+        totals = [fd.host_col_to_int(np.asarray(ps[:, -1:]), R)
+                  for ps in p_scans]
         total_all = 1
         for t in totals:
             if t == 0:
@@ -635,7 +632,7 @@ class TpuEngine:
         w = self.mul(coeffs, powx)
         # inclusive prefix sums with cross-chunk offsets
         p_scans = [_k_prefix_add_scan(c) for c in w.chunks]
-        chunk_tot = [limbs_to_ints(np.asarray(ps[:, -1:]))[0] * R_INV % R
+        chunk_tot = [fd.host_col_to_int(np.asarray(ps[:, -1:]), R)
                      for ps in p_scans]
         offsets = [0] * len(p_scans)
         for j in range(1, len(p_scans)):

@@ -72,6 +72,23 @@ FR = FieldSpec.make(_R_INT)
 FQ = FieldSpec.make(_P_INT)
 
 
+@lru_cache(maxsize=None)
+def _shift_consts(modulus: int):
+    """Host constant matrices for the lazy REDC:
+    - PP_TRUNC (22, 22): column j = p' shifted up by j limbs, truncated mod R
+    - P_SHIFT (44, 22):  column j = p  shifted up by j limbs
+    """
+    spec = FieldSpec.make(modulus)
+    pp = np.zeros((L, L), dtype=np.int32)
+    ps = np.zeros((2 * L, L), dtype=np.int32)
+    for j in range(L):
+        for k in range(L):
+            if j + k < L:
+                pp[j + k, j] = spec.p_prime_limbs[k]
+            ps[j + k, j] = spec.p_limbs[k]
+    return pp, ps
+
+
 def _col(spec_arr: np.ndarray) -> jnp.ndarray:
     """(22,) host constant -> (22, 1) broadcastable column."""
     return jnp.asarray(spec_arr, dtype=jnp.int32)[:, None]
@@ -151,27 +168,26 @@ def _stack(limbs: list) -> jnp.ndarray:
     return jnp.stack(limbs, axis=0)
 
 
-def add(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+def add_canonical(a, b, spec: FieldSpec) -> jnp.ndarray:
     la, lb = _unstack(a), _unstack(b)
     s = [x + y for x, y in zip(la, lb)]
     s = carry_chain(s, L)
     return _stack(_sub_p_if_ge(s, spec))
 
 
+def add(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Lazy-domain addition (see the lazy section below): full-width ops,
+    output bound < 2.2p in redundant limbs."""
+    return lazy_reduce(lazy_add(a, b), spec)
+
+
 def sub(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    la, lb = _unstack(a), _unstack(b)
-    p = spec.p_limbs
-    s = [x - y + int(p[i]) for i, (x, y) in enumerate(zip(la, lb))]
-    s = carry_chain(s, L)
-    return _stack(_sub_p_if_ge(s, spec))
+    """Lazy-domain subtraction: a - b + 4p, partially reduced."""
+    return lazy_reduce(lazy_sub(a, b, spec, k=4), spec)
 
 
 def neg(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    la = _unstack(a)
-    p = spec.p_limbs
-    s = [int(p[i]) - x for i, x in enumerate(la)]
-    s = carry_chain(s, L)
-    return _stack(_sub_p_if_ge(s, spec))
+    return lazy_reduce(lazy_sub(jnp.zeros_like(a), a, spec, k=4), spec)
 
 
 
@@ -220,16 +236,20 @@ def carry_stack(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
 
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    """Montgomery product a*b*R^{-1} mod p; canonical in, canonical out."""
-    t = _mul_cols_full(a, jnp.broadcast_to(b, a.shape))  # (43, ...), < 2^30
-    return _redc_stacked(t, spec)
+    """Montgomery product a*b*R^{-1} mod p in the lazy domain: inputs with
+    |value| < 16p, output |value| < 1.5p (redundant limbs)."""
+    return lazy_mul(a, jnp.broadcast_to(b, a.shape), spec)
 
 
 def mont_mul_const(a: jnp.ndarray, c_mont: np.ndarray, spec: FieldSpec) -> jnp.ndarray:
     """Montgomery product with a host-resident constant (Montgomery form)."""
     c = jnp.asarray(np.asarray(c_mont).reshape((L,) + (1,) * (a.ndim - 1)),
                     jnp.int32)
-    t = _mul_cols_full(a, c)
+    return lazy_mul(a, jnp.broadcast_to(c, a.shape), spec)
+
+
+def mont_mul_canonical(a, b, spec: FieldSpec) -> jnp.ndarray:
+    t = _mul_cols_full(a, jnp.broadcast_to(b, a.shape))
     return _redc_stacked(t, spec)
 
 
@@ -262,8 +282,10 @@ def to_mont(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
 
 
 def from_mont(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Lazy Montgomery rep -> canonical integer limbs (exact)."""
+    c = lazy_to_canonical(a, spec)
     t = jnp.concatenate(
-        [a, jnp.zeros((L - 1,) + a.shape[1:], dtype=jnp.int32)], axis=0)
+        [c, jnp.zeros((L - 1,) + c.shape[1:], dtype=jnp.int32)], axis=0)
     return _redc_stacked(t, spec)
 
 
@@ -292,3 +314,164 @@ def equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def select(pred: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """pred: bool batch shape; a where pred else b."""
     return jnp.where(pred[None, ...], a, b)
+
+
+# ---------------------------------------------------------------------------
+# lazy (redundant-domain) arithmetic: full-width limb-array ops
+# ---------------------------------------------------------------------------
+#
+# The canonical ops above manipulate per-limb rows ((1, N)-shaped vector ops),
+# which wastes 7/8 of the VPU's sublanes and serializes 22-44-step carry
+# chains.  The lazy domain trades canonical form for whole-array operations:
+#
+#   representation: (22, ...) int32 limbs, limb values in [-4, ~4300]
+#                   (i.e. ~12-bit magnitude), element value magnitude < 16p
+#   invariants:     every op ends with >= 1 full-width carry round;
+#                   multiplications require |value| < 16p on both inputs and
+#                   return |value| < 1.5p; add/sub grow the bound additively
+#                   (callers -- the expression emitter -- track static bounds
+#                   and renormalize if a chain would exceed 16p, which none of
+#                   the protocol expressions do)
+#
+# Correctness does not depend on the bound tracking being tight -- bounds only
+# guarantee no int32 overflow (columns < 2^31) and REDC range; all arithmetic
+# is exact and `lazy_to_canonical` produces the unique canonical limbs.
+
+
+def _carry_round(x: jnp.ndarray, mod_r: bool) -> jnp.ndarray:
+    """One full-width carry round along the limb axis.  mod_r=True drops the
+    carry out of the top limb (working mod 2^(12*K)); otherwise the top limb
+    absorbs its carry un-masked (value-preserving, callers bound growth)."""
+    c = x >> B
+    masked = x & MASK
+    shifted = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+    y = masked + shifted
+    if not mod_r:
+        # top limb keeps its high bits instead of dropping them
+        y = jnp.concatenate([y[:-1], x[-1:] + shifted[-1:]], axis=0)
+    return y
+
+
+def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return _carry_round(a + b, mod_r=False)
+
+
+def lazy_sub(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec,
+             k: int = 4) -> jnp.ndarray:
+    """a - b + k*p (keeps values positive for |b| < k*p)."""
+    kp = np.asarray(int_to_limbs(k * spec.modulus))  # k*p < 2^264 for k <= 16
+    kp_col = jnp.asarray(kp).reshape((L,) + (1,) * (a.ndim - 1))
+    return _carry_round(a - b + kp_col, mod_r=False)
+
+
+_F32_WEIGHTS = None
+
+
+def _f32_weights(ndim: int):
+    w = np.ldexp(np.ones(L), 12 * np.arange(L) - 252).astype(np.float32)
+    return jnp.asarray(w).reshape((L,) + (1,) * (ndim - 1))
+
+
+def lazy_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery product in the lazy domain: |inputs| < 16p ->
+    |output| < 1.5p.  Product columns are accumulated per-column (unrolled
+    elementwise graphs fuse without materializing padded (44, ...) buffers),
+    carries are full-width rounds."""
+    la = [a[i] for i in range(L)]
+    lb = [b[i] for i in range(L)]
+    # T = a * b column sums (43 columns)
+    t_cols = [None] * (2 * L - 1)
+    for i in range(L):
+        ai = la[i]
+        for j in range(L):
+            prod = ai * lb[j]
+            k = i + j
+            t_cols[k] = prod if t_cols[k] is None else t_cols[k] + prod
+    t_cols.append(jnp.zeros_like(t_cols[0]))     # column 43
+    acc = jnp.stack(t_cols, axis=0)              # (44, batch)
+    acc = _carry_round(_carry_round(acc, mod_r=False), mod_r=False)
+
+    # m = (t mod R) * p' mod R, truncated schoolbook with scalar constants
+    pp = spec.p_prime_limbs
+    t_low = [acc[i] for i in range(L)]
+    m_cols = [None] * L
+    for j in range(L):
+        tj = t_low[j]
+        for k in range(j, L):
+            c = int(pp[k - j])
+            if c == 0:
+                continue
+            term = tj * c
+            m_cols[k] = term if m_cols[k] is None else m_cols[k] + term
+    m_cols = [jnp.zeros_like(acc[0]) if x is None else x for x in m_cols]
+    m = jnp.stack(m_cols, axis=0)
+    m = _carry_round(_carry_round(m, mod_r=True), mod_r=True)
+
+    # total = T + m*p (per-column with scalar constants)
+    pl = spec.p_limbs
+    ml = [m[i] for i in range(L)]
+    mp_cols = [None] * (2 * L)
+    for j in range(L):
+        mj = ml[j]
+        for k in range(L):
+            c = int(pl[k])
+            if c == 0:
+                continue
+            kk = j + k
+            term = mj * c
+            mp_cols[kk] = term if mp_cols[kk] is None else mp_cols[kk] + term
+    mp_cols = [jnp.zeros_like(acc[0]) if x is None else x for x in mp_cols]
+    total = acc + jnp.stack(mp_cols, axis=0)
+    total = _carry_round(_carry_round(total, mod_r=False), mod_r=False)
+
+    # low 22 limbs form a value in {0, R} (divisible by R, bounded): compute
+    # the spill bit with an exact-enough float32 dot and fold into the result
+    low = total[:L]
+    hi = total[L:]
+    s = jnp.sum(low.astype(jnp.float32) * _f32_weights(low.ndim), axis=0)
+    spill = (s > 2048.0).astype(jnp.int32)
+    hi = jnp.concatenate([hi[:1] + spill[None], hi[1:]], axis=0)
+    return hi
+
+
+def lazy_from_canonical(a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical limbs are valid lazy limbs."""
+    return a
+
+
+def lazy_to_canonical(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Exact normalization: add 16p (forces positivity), sequential carry,
+    then binary-weighted conditional subtracts down to [0, p)."""
+    kp = jnp.asarray(int_to_limbs(16 * spec.modulus)).reshape(
+        (L,) + (1,) * (a.ndim - 1))
+    x = a + kp
+    limbs = [x[i] for i in range(L)]
+    limbs = carry_chain(limbs, L)
+    # value < 16p + 16p = 32p: subtract 16p, 8p, 4p, 2p, p conditionally
+    for kk in (16, 8, 4, 2, 1):
+        limbs = _sub_const_if_ge(
+            limbs, np.asarray(int_to_limbs(kk * spec.modulus)))
+    return _stack(limbs)
+
+
+def lazy_reduce(x: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Partial reduction: subtract q*p with q estimated from a float32 limb
+    dot product, capping |value| back to < 2.2p.  Exact (q is an integer;
+    only its choice is approximate, and the slack absorbs the estimate
+    error).  Input |value| < ~40p, limbs |.| < 2^24."""
+    est = jnp.sum(x.astype(jnp.float32) * _f32_weights(x.ndim), axis=0)
+    ratio = float(spec.modulus) / float(2.0 ** 252)
+    q = jnp.maximum(jnp.floor(est / ratio) - 1.0, 0.0).astype(jnp.int32)
+    p_col = jnp.asarray(spec.p_limbs, jnp.int32).reshape(
+        (L,) + (1,) * (x.ndim - 1))
+    return _carry_round(x - q[None] * p_col, mod_r=False)
+
+
+def host_col_to_int(col: np.ndarray, modulus: int) -> int:
+    """Exact value of one (22, 1) possibly-lazy limb column, reduced mod the
+    modulus and converted out of the Montgomery domain."""
+    total = 0
+    for i in range(L):
+        total += int(col[i, 0]) << (B * i)
+    r_inv = pow(1 << R_BITS, -1, modulus)
+    return total % modulus * r_inv % modulus
