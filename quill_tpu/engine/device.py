@@ -610,14 +610,17 @@ class TpuEngine:
         return self.inner(coeffs, powx)
 
     def _powtable(self, x: int, n: int) -> "DVec":
-        assert n % CHUNK == 0
+        # physical coverage rounds up to whole chunks (callers with
+        # zero-padded coefficient vectors get exact results: the padding
+        # contributes zero terms)
+        nch = (n + CHUNK - 1) // CHUNK
         base = _powtable_chunk(x, LOG2_CHUNK)
         chunks = []
-        for j in range(n // CHUNK):
+        for j in range(nch):
             offset = pow(x, j * CHUNK, R)
             cc = jnp.asarray(_mont_const_np(offset))
             chunks.append(_k_mul_scalar(base, cc))
-        return DVec(chunks=chunks, length=n)
+        return DVec(chunks=chunks, length=nch * CHUNK)
 
     def quotient_by_linear(self, coeffs, x: int):
         """(y, q) with q = (p - y)/(X - x) via prefix-scan Horner:
@@ -629,6 +632,7 @@ class TpuEngine:
             return self.host.quotient_by_linear(self.vec_to_ints(coeffs), x)
         xinv = inv(x, R)
         powx = self._powtable(x, coeffs.length)
+        powx.length = coeffs.length
         w = self.mul(coeffs, powx)
         # inclusive prefix sums with cross-chunk offsets
         p_scans = [_k_prefix_add_scan(c) for c in w.chunks]
@@ -639,6 +643,7 @@ class TpuEngine:
             offsets[j] = (offsets[j - 1] + chunk_tot[j - 1]) % R
         y = (offsets[-1] + chunk_tot[-1]) % R
         powxi = self._powtable(xinv, coeffs.length)
+        powxi.length = coeffs.length
         q_chunks = []
         y_col = jnp.asarray(_mont_const_np(y))
         xinv_col = jnp.asarray(_mont_const_np(xinv))

@@ -66,27 +66,32 @@ def build_round_fn(expr, used: tuple, degree: int):
 
     t_np = np.stack([ints_to_limbs([t * ((1 << fd.R_BITS) % R) % R])
                      for t in range(degree + 1)], axis=1)  # (22, T, 1)
+    # (table layout: (22, n_used, N); every fd op treats axis 0 as limbs)
 
     def messages(tables, consts):
-        # tables: (n_used, 22, N)
-        lo = tables[:, :, 0::2][:, :, None, :]     # (k, 22, 1, N/2)
-        hi = tables[:, :, 1::2][:, :, None, :]
+        # tables: (22, n_used, N) -- limb-major (fd ops use limb axis 0).
+        # Pairs via reshape (not strided slice: GSPMD reshards reshapes of a
+        # sharded axis cleanly, strided gathers it cannot).
+        pairs = tables.reshape(L, tables.shape[1], tables.shape[2] // 2, 2)
+        lo = pairs[:, :, None, :, 0]               # (22, k, 1, N/2)
+        hi = pairs[:, :, None, :, 1]
         diff = fd.sub(hi, lo, SPEC)
-        t_col = jnp.asarray(t_np)[None]            # (1, 22, T, 1)
-        shape = (tables.shape[0], L, degree + 1, tables.shape[2] // 2)
+        t_col = jnp.asarray(t_np)[:, None, :, :]   # (22, 1, T, 1)
+        shape = (L, tables.shape[1], degree + 1, tables.shape[2] // 2)
         vals_all = fd.add(jnp.broadcast_to(lo, shape),
                           fd.mont_mul(jnp.broadcast_to(t_col, shape),
                                       jnp.broadcast_to(diff, shape), SPEC),
                           SPEC)
-        tab_map = {idx: vals_all[i] for i, idx in enumerate(used)}
+        tab_map = {idx: vals_all[:, i] for i, idx in enumerate(used)}
         h = _emit_stacked(expr, tab_map, consts, [0])   # (22, T, N/2)
         return jnp.sum(h, axis=2).transpose(1, 0)       # (T, 22)
 
     def fold(tables, r_col):
-        lo = tables[:, :, 0::2]
-        hi = tables[:, :, 1::2]
+        pairs = tables.reshape(L, tables.shape[1], tables.shape[2] // 2, 2)
+        lo = pairs[..., 0]
+        hi = pairs[..., 1]
         return fd.add(lo, fd.mont_mul(
-            jnp.broadcast_to(r_col[None], lo.shape),
+            jnp.broadcast_to(r_col[:, None], lo.shape),
             fd.sub(hi, lo, SPEC), SPEC), SPEC)
 
     return messages, fold
@@ -131,7 +136,7 @@ class ShardedSumcheck:
         arrs = []
         for t in host_tables:
             arrs.append(ints_to_limbs([int(x) % R for x in t]))
-        raw = jnp.asarray(np.stack(arrs, axis=0))
+        raw = jnp.asarray(np.stack(arrs, axis=1))  # (22, k, N) limb-major
         sharded = jax.device_put(raw, shard_tables(mesh))
         return jax.jit(_to_mont_stacked,
                        out_shardings=shard_tables(mesh))(sharded)
@@ -139,8 +144,9 @@ class ShardedSumcheck:
 
 @jax.jit
 def _to_mont_stacked(x):
-    # x: (k, 22, N) canonical -> Montgomery, batched over k
-    return jax.vmap(lambda t: fd.to_mont(t, SPEC))(x)
+    # x: (22, k, N) canonical -> Montgomery (limb axis leads; fd ops batch
+    # over the remaining axes directly)
+    return fd.to_mont(x, SPEC)
 
 
 # -- sharded MSM partials ----------------------------------------------------
@@ -163,8 +169,12 @@ def sharded_msm_partials(mesh, scalars, base_x, base_y):
 
     def per_shard(sc, bx, by):
         n_local = sc.shape[1]
-        base = ed.affine_to_projective(bx, by, None)
-        acc = ed.pt_identity((n_local,))
+        # build carries from the sharded operands (0*bx) so every loop-carry
+        # component is device-varying (shard_map vma typing requirement)
+        zero = bx * 0
+        one_col = jnp.asarray(fd.FQ.one_mont, jnp.int32)[:, None]
+        base = (bx, by, zero + one_col)
+        acc = (zero, zero + one_col, zero)
 
         def bit_body(b, state):
             acc, base = state
@@ -184,8 +194,9 @@ def sharded_msm_partials(mesh, scalars, base_x, base_y):
                          for c in acc)
             return ed.pt_add(total, pt_i)
 
+        zero1 = zero[:, :1]
         total = jax.lax.fori_loop(0, n_local, red_body,
-                                  ed.pt_identity((1,)))
+                                  (zero1, zero1 + one_col, zero1))
         return tuple(c[None] for c in total)   # (1, 22, 1)
 
     shard_fn = jax.shard_map(

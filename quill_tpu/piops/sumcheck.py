@@ -138,19 +138,34 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
     )
 
 
-def verify(proof: SumcheckProof, transcript: Transcript) -> EvaluationClaim:
+def verify(proof: SumcheckProof, transcript: Transcript,
+           max_degree: int | None = None) -> EvaluationClaim:
     """`SumcheckProof::verify` (`sumcheck.rs:116-150`).  Raises ValueError on
     failure (the Rust `Result<_, String>` contract).
 
-    Note: like the reference, the per-round degree of the received polynomials
-    is *not* bounds-checked (flagged soundness gap, SURVEY §7); stricter
-    checking can be layered by callers without changing transcript bytes.
+    Compat note: like the reference, the per-round degree of the received
+    polynomials is *not* bounds-checked by default (flagged soundness gap,
+    SURVEY §7) -- our prover must satisfy the reference verifier and vice
+    versa, so default behavior matches.  Pass `max_degree` (or set
+    QUILL_STRICT_VERIFY=1 with a known bound of 8) to enforce the bound;
+    this is transcript-invisible (the serialized bytes do not change).
     """
+    import os
+
+    if max_degree is None and os.environ.get("QUILL_STRICT_VERIFY"):
+        max_degree = 8
     transcript.append_usize(proof.num_vars)
     transcript.append_field(proof.claimed_sum % R)
 
     v = proof.claimed_sum % R
     evaluation_point: list[int] = []
+
+    if max_degree is not None:
+        for coeffs in proof.r_polys:
+            if len(coeffs) > max_degree + 1:
+                raise ValueError("Sumcheck round polynomial exceeds degree bound")
+        if len(proof.r_polys) != proof.num_vars:
+            raise ValueError("Sumcheck round count does not match num_vars")
 
     for coeffs in proof.r_polys:
         eval_at_0 = poly_eval_host(coeffs, 0)
