@@ -158,11 +158,65 @@ def _root_node(data: bytes) -> _Output:
     return build(0, len(chunks))
 
 
-def blake3_digest(data: bytes) -> bytes:
-    """32-byte BLAKE3 hash."""
+def _py_digest(data: bytes) -> bytes:
     return _root_node(data).root_output_bytes(32)
+
+
+def _py_xof(data: bytes, length: int) -> bytes:
+    return _root_node(data).root_output_bytes(length)
+
+
+# -- native backend (ctypes over native/blake3.c), Python fallback -----------
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "_blake3.so")
+    try:
+        lib = ctypes.CDLL(path)
+        lib.quill_blake3.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+        lib.quill_blake3.restype = None
+        # self-check against the Python implementation before trusting it
+        probe = bytes(range(200))
+        buf = (ctypes.c_uint8 * 64)()
+        lib.quill_blake3(probe, len(probe), buf, 64)
+        if bytes(buf) != _py_xof(probe, 64):
+            raise RuntimeError("native blake3 self-check failed")
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = False
+    return _NATIVE
+
+
+def blake3_digest(data: bytes) -> bytes:
+    """32-byte BLAKE3 hash (native C backend when available)."""
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        buf = (ctypes.c_uint8 * 32)()
+        lib.quill_blake3(data, len(data), buf, 32)
+        return bytes(buf)
+    return _py_digest(data)
 
 
 def blake3_xof(data: bytes, length: int) -> bytes:
     """Extendable output: first `length` bytes of the BLAKE3 output stream."""
-    return _root_node(data).root_output_bytes(length)
+    lib = _load_native()
+    if lib:
+        import ctypes
+
+        buf = (ctypes.c_uint8 * length)()
+        lib.quill_blake3(data, len(data), buf, length)
+        return bytes(buf)
+    return _py_xof(data, length)
