@@ -122,6 +122,53 @@ def bench_sumcheck_round(log2n: int):
     return t_round
 
 
+def bench_small_configs(extra):
+    """BASELINE.json configs 1-3.  Vector math below one chunk runs on the
+    exact host engine (hybrid threshold); MSMs route to the device with
+    zero-padded scalars."""
+    import random
+
+    from quill_tpu.engine.device import TpuEngine
+    from quill_tpu.fields.bn254 import R
+    from quill_tpu.pcs import ipa
+    from quill_tpu.pcs.kzg import cached_trusted_setup
+    from quill_tpu.pcs.mlpcs import MultilinearPCS
+    from quill_tpu.transcript.transcript import Transcript
+
+    eng = TpuEngine()
+    rng = random.Random(0)
+
+    # 1) univariate KZG commit + open at 2^10
+    kzg = cached_trusted_setup(eng, 1 << 10)
+    poly = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 10)])
+    t0 = time.time()
+    kzg.commit(poly)
+    kzg.open(poly, rng.randrange(R))
+    extra["kzg_commit_open_2^10_sec"] = round(time.time() - t0, 3)
+
+    # 2) IPA over univariate PCS at 2^14 coefficients
+    kzg14 = cached_trusted_setup(eng, 1 << 14)
+    p1 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
+    p2 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
+    t = Transcript(b"bench_ipa")
+    t.append_g1(kzg14.commit(p1))
+    t.append_g1(kzg14.commit(p2))
+    t0 = time.time()
+    ipa.prove(eng, p1, p2, kzg14, t)
+    extra["ipa_prove_2^14_sec"] = round(time.time() - t0, 3)
+
+    # 3) multilinear PCS commit + eval proof, 16-variable hypercube
+    pcs = MultilinearPCS(cached_trusted_setup(eng, 1 << 16))
+    mp = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 16)])
+    t = Transcript(b"bench_mlpcs")
+    t0 = time.time()
+    comm = pcs.commit(mp)
+    point = [rng.randrange(R) for _ in range(16)]
+    pcs.open(mp, point, t)
+    extra["mlpcs_commit_open_16var_sec"] = round(time.time() - t0, 3)
+    log(f"small configs: {extra}")
+
+
 def main():
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
     log2n = int(os.environ.get("QUILL_BENCH_LOG2N", "20"))
@@ -132,6 +179,11 @@ def main():
     log(f"devices: {jax.devices()}")
 
     extra = {}
+    if os.environ.get("QUILL_BENCH_SMALL", "1") != "0":
+        try:
+            bench_small_configs(extra)
+        except Exception as e:
+            log(f"small-config bench failed: {e!r}")
     try:
         t_round = bench_sumcheck_round(sc_log2n)
         extra["sumcheck_round_sec_2^%d" % sc_log2n] = round(t_round, 4)

@@ -199,12 +199,6 @@ def _k_take_last(px, py, pz):
     return px[:, :, -1], py[:, :, -1], pz[:, :, -1]
 
 
-@jax.jit
-def _k_drop_bucket0_total(suf_x, suf_y, suf_z, red_x, red_y, red_z):
-    """window = total_triangle - suffix_1?  Not needed -- see driver."""
-    return suf_x, suf_y, suf_z
-
-
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------

@@ -687,7 +687,13 @@ class TpuEngine:
         from ..ec import msm as msm_mod
 
         if not self._is_dev(scalars):
-            # small tail: host Pippenger over the affine CRS
+            n = self.host.vec_len(scalars)
+            if n >= 4096 and basis.x_chunks:
+                # zero-pad small scalar vectors to one chunk: the device
+                # MSM skips zero digits, so padding is free
+                ints = [int(s) for s in scalars] + [0] * (CHUNK - n)
+                sc = jnp.asarray(ints_to_limbs(ints))
+                return msm_mod.msm_device(basis, [sc], n)
             return curve.msm_host(basis.affines,
                                   [int(s) for s in scalars])
         scalar_chunks = [_k_from_mont(c) for c in scalars.chunks]

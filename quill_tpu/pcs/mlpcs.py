@@ -112,10 +112,23 @@ class MultilinearPCS:
         r = transcript.draw_field_element()
         r_inv = inv(r, R)
 
-        if not (self.kzg.verify_opening(commitment, proof.poly_opening)
-                and self.kzg.verify_opening(commitment, proof.poly_opening_inv)
-                and self.kzg.verify_opening(proof.s_comm, proof.s_opening)
-                and self.kzg.verify_opening(proof.s_comm, proof.s_opening_inv)):
+        import os
+
+        checks = {
+            "poly@r": self.kzg.verify_opening(commitment, proof.poly_opening),
+            "poly@1/r": self.kzg.verify_opening(commitment,
+                                                proof.poly_opening_inv),
+            "s@r": self.kzg.verify_opening(proof.s_comm, proof.s_opening),
+            "s@1/r": self.kzg.verify_opening(proof.s_comm,
+                                             proof.s_opening_inv),
+        }
+        if not all(checks.values()):
+            if os.environ.get("QUILL_DEBUG_PCS"):
+                import sys
+
+                print(f"[mlpcs.verify] KZG opening failures: "
+                      f"{[k for k, v in checks.items() if not v]}; "
+                      f"r={r}", file=sys.stderr, flush=True)
             return False
 
         pr_r = eval_pr(proof.evaluation_point, r)
@@ -124,4 +137,9 @@ class MultilinearPCS:
         lhs = (proof.poly_opening.y * pr_r_inv + proof.poly_opening_inv.y * pr_r) % R
         rhs = (r * proof.s_opening.y + r_inv * proof.s_opening_inv.y
                + 2 * proof.evaluation) % R
+        if lhs != rhs and os.environ.get("QUILL_DEBUG_PCS"):
+            import sys
+
+            print("[mlpcs.verify] Mercury equation mismatch", file=sys.stderr,
+                  flush=True)
         return lhs == rhs

@@ -76,6 +76,14 @@ def main():
     t_prove = time.time() - t0
     log(f"PROVE: {t_prove:.1f}s")
 
+    from quill_tpu.utils.proof_io import serialize_proof
+
+    data = serialize_proof(proof)
+    out_path = os.environ.get("QUILL_PROOF_OUT", "/tmp/quill_proof.bin")
+    with open(out_path, "wb") as f:
+        f.write(data)
+    log(f"proof serialized: {len(data)} bytes -> {out_path}")
+
     t0 = time.time()
     hyperplonk.verify(proof, hp.to_vk(), pcs)
     log(f"VERIFY: {time.time()-t0:.1f}s")
