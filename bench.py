@@ -169,6 +169,43 @@ def bench_small_configs(extra):
     log(f"small configs: {extra}")
 
 
+def bench_logup(log2n: int, extra):
+    """BASELINE config 4: sumcheck + zero-check + logup multiset-equality at
+    2^log2n (the full PIOP combo: the multiset check internally batches the
+    denominator zero-checks and the sum check)."""
+    import random
+
+    from quill_tpu.engine.device import TpuEngine
+    from quill_tpu.fields.bn254 import R
+    from quill_tpu.pcs.kzg import KZG
+    from quill_tpu.pcs.mlpcs import MultilinearPCS
+    from quill_tpu.piops import multiset_check
+    from quill_tpu.piops.multiset_check import LookupMode
+    from quill_tpu.piops.virtual_poly import Store
+    from quill_tpu.transcript.transcript import Transcript
+
+    eng = TpuEngine()
+    pcs = MultilinearPCS(KZG.device_setup(eng, 1 << log2n))
+    rng = random.Random(2)
+    n = 1 << log2n
+    left = [rng.randrange(R) for _ in range(n)]
+    # a rotation is a permutation: multisets match without host shuffling cost
+    right = left[1:] + left[:1]
+
+    store = Store(eng, log2n)
+    l_ref = store.allocate_polynomial(left)
+    r_ref = store.allocate_polynomial(right)
+    l_virt = store.new_virtual_from_input(l_ref)
+    r_virt = store.new_virtual_from_input(r_ref)
+
+    t0 = time.time()
+    multiset_check.prove(store, l_virt, r_virt, Transcript(b"bench_logup"),
+                         pcs, LookupMode.EQUALITY, None)
+    extra["logup_multiset_prove_2^%d_sec" % log2n] = round(time.time() - t0, 2)
+    log(f"logup multiset prove at 2^{log2n}: "
+        f"{extra['logup_multiset_prove_2^%d_sec' % log2n]}s")
+
+
 def main():
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
     log2n = int(os.environ.get("QUILL_BENCH_LOG2N", "20"))
@@ -190,6 +227,12 @@ def main():
     except Exception as e:  # keep the headline alive
         log(f"sumcheck bench failed: {e!r}")
         extra["sumcheck_error"] = repr(e)[:200]
+
+    if os.environ.get("QUILL_BENCH_PIOP"):
+        try:
+            bench_logup(int(os.environ.get("QUILL_PIOP_LOG2N", "20")), extra)
+        except Exception as e:
+            log(f"logup bench failed: {e!r}")
 
     pts_per_sec, t_msm, t_crs, _ = bench_msm(log2n)
     extra["msm_sec_2^%d" % log2n] = round(t_msm, 4)
