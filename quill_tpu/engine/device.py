@@ -688,12 +688,18 @@ class TpuEngine:
 
         if not self._is_dev(scalars):
             n = self.host.vec_len(scalars)
-            if n >= 4096 and basis.x_chunks:
+            use_device = basis.x_chunks and (
+                n >= 4096 or not basis.affines)
+            if use_device:
                 # zero-pad small scalar vectors to one chunk: the device
                 # MSM skips zero digits, so padding is free
                 ints = [int(s) for s in scalars] + [0] * (CHUNK - n)
                 sc = jnp.asarray(ints_to_limbs(ints))
                 return msm_mod.msm_device(basis, [sc], n)
+            if not basis.affines:
+                raise RuntimeError(
+                    "MSM basis has neither device chunks nor host affine "
+                    "points for this slice")
             return curve.msm_host(basis.affines,
                                   [int(s) for s in scalars])
         scalar_chunks = [_k_from_mont(c) for c in scalars.chunks]

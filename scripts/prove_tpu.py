@@ -87,6 +87,9 @@ def main():
     t0 = time.time()
     hyperplonk.verify(proof, hp.to_vk(), pcs)
     log(f"VERIFY: {time.time()-t0:.1f}s")
+    from quill_tpu.utils.profiling import metrics
+
+    log("phase breakdown:", metrics.report())
     log("OK: full HyperPlonk proof at 2^%d rows proved on TPU and verified"
         % log2_rows)
 
