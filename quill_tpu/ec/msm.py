@@ -7,15 +7,16 @@ Counterpart of arkworks `VariableBaseMSM::msm_unchecked`
   device (limb bit surgery, all windows at once);
 - per 2^16-element chunk, points are *sorted by bucket index* (XLA sort,
   batched over all windows) and bucket sums are produced by a segmented
-  Hillis-Steele scan: log2(N) host-driven applications of ONE compiled step
-  kernel (complete point addition + same-segment mask, dynamic shift) --
-  full-width data-parallel steps instead of a sequential scan, no
-  data-dependent scatter in the hot loop;
-- each window's 2^c bucket array is written by one small dense scatter and
-  accumulated across chunks with one vectorized point addition;
-- bucket reduction is the classic triangle sum: an (unsegmented) suffix
-  Hillis-Steele scan over buckets plus one full reduction, batched over all
-  windows;
+  inclusive scan whose combine is the branchless complete point addition.
+  Two interchangeable scan strategies (QUILL_MSM_SCAN): the default
+  work-efficient two-level lax.scan (~2N additions), and a Hillis-Steele
+  variant (N log N additions but log N fixed-shape host dispatches -- the
+  only option on backends where scan-with-point-body compiles poorly);
+- each window's 2^c bucket array is collected by a batched searchsorted +
+  gather (no data-dependent scatter) and accumulated across chunks with one
+  vectorized point addition;
+- bucket reduction is the classic triangle sum (suffix scan over buckets
+  plus one full reduction), batched over all windows;
 - the W window results are combined on the host (c doublings per window --
   O(254) trivial host work).
 

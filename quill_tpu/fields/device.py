@@ -5,13 +5,13 @@ of arkworks' `ark_ff` field backend, redesigned for the TPU VPU:
 
 - elements live in Montgomery form (radix R = 2^264) as int32 limb rows of an
   (22, N) array; the N axis is the vector-lane axis;
-- multiplication is schoolbook column accumulation (static unrolled 22x22,
-  products < 2^24, columns < 2^30 -- no intermediate normalization needed)
-  followed by one-shot Montgomery reduction (m = T_low * P' mod R, then
-  (T + m*p) >> 264);
-- carry propagation is an exact sequential chain (unrolled adds/shifts that
-  XLA fuses into the same kernel); conditional subtract-p keeps every stored
-  value canonical (< p, 12-bit limbs);
+- the production ops work in a *lazy redundant domain* (see the lazy section
+  below): limbs of ~12-bit magnitude (small negatives allowed), values
+  bounded by ~2.2p, full-width carry *rounds* instead of sequential chains,
+  Montgomery reduction with a one-shot m = T_low * P' mod R and a float32
+  spill estimate, and a float32-quotient partial reduction after adds/subs;
+- exact canonicalization (`lazy_to_canonical` / `from_mont`) happens only at
+  representation boundaries (serialization, digit extraction, host sums);
 - everything here is shape-polymorphic jnp code: jit/fusion happens at the
   engine layer, and the same programs run on CPU meshes for differential
   tests against the exact host big-int engine.
