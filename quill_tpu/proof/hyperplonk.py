@@ -17,6 +17,7 @@ from ..pcs import EvaluationClaim
 from ..piops import permutation_check, zerocheck
 from ..piops.virtual_poly import Const, Mul, Store
 from ..transcript.transcript import Transcript
+from ..utils.profiling import phase
 from .circuit import Circuit
 
 DOMAIN = b"hyperplonk_proof"
@@ -163,8 +164,9 @@ class HyperPlonk:
             a = a * alpha % R
 
         zero_check_virtual = store.new_virtual_from_expr(zero_check_expr)
-        zero_check_proof, zc_claim = zerocheck.prove(
-            store, zero_check_virtual, transcript)
+        with phase("prove/zerocheck"):
+            zero_check_proof, zc_claim = zerocheck.prove(
+                store, zero_check_virtual, transcript)
 
         # permutation check on the whole trace as one polynomial
         # (`proof.rs:183-196`)
@@ -172,18 +174,21 @@ class HyperPlonk:
         witness_ref = store2.allocate_polynomial(full_witness)
         witness_virtual = store2.new_virtual_from_input(witness_ref)
 
-        perm_proof, perm_point = permutation_check.prove(
-            store2, witness_virtual, witness_virtual,
-            pk.id_poly, pk.permutation_poly, transcript, pcs)
+        with phase("prove/permutation_check"):
+            perm_proof, perm_point = permutation_check.prove(
+                store2, witness_virtual, witness_virtual,
+                pk.id_poly, pk.permutation_poly, transcript, pcs)
 
         # witness openings at the zero-check point extended with column bits
         # (`proof.rs:202-210`)
         openings_zero_check = []
-        for col in range(cols):
-            point = list(zc_claim.point)
-            for i in range(log2_cols):
-                point.append((col >> i) & 1)
-            openings_zero_check.append(pcs.open(full_witness, point, transcript))
+        with phase("prove/witness_openings"):
+            for col in range(cols):
+                point = list(zc_claim.point)
+                for i in range(log2_cols):
+                    point.append((col >> i) & 1)
+                openings_zero_check.append(
+                    pcs.open(full_witness, point, transcript))
 
         # public-column openings at the zero-check point (`proof.rs:213-219`)
         openings_public = []
@@ -194,9 +199,12 @@ class HyperPlonk:
 
         # id / permutation / trace openings at the permutation-check point
         # (`proof.rs:222-226`)
-        opening_id = pcs.open(pk.id_poly, perm_point, transcript)
-        opening_permutation = pcs.open(pk.permutation_poly, perm_point, transcript)
-        opening_permutation_trace = pcs.open(full_witness, perm_point, transcript)
+        with phase("prove/id_perm_trace_openings"):
+            opening_id = pcs.open(pk.id_poly, perm_point, transcript)
+            opening_permutation = pcs.open(pk.permutation_poly, perm_point,
+                                           transcript)
+            opening_permutation_trace = pcs.open(full_witness, perm_point,
+                                                 transcript)
 
         return TraceProof(
             zero_check_proof=zero_check_proof,
@@ -232,7 +240,8 @@ class HyperPlonk:
                 flat.extend(col)
             full_witness = engine.vec_from_ints(flat)
 
-            witness_commitment = pcs.commit(full_witness)
+            with phase("prove/witness_commit"):
+                witness_commitment = pcs.commit(full_witness)
             transcript.append_g1(witness_commitment)
 
             trace_commitments.append(witness_commitment)
