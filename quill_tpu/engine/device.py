@@ -688,8 +688,10 @@ class TpuEngine:
 
         if not self._is_dev(scalars):
             n = self.host.vec_len(scalars)
-            use_device = basis.x_chunks and (
-                n >= 4096 or not basis.affines)
+            # the chunked device MSM beats host Pippenger well below one
+            # chunk (~1.5s/chunk vs minutes of Python EC), so prefer it
+            # whenever device CRS chunks exist
+            use_device = bool(basis.x_chunks)
             if use_device:
                 # zero-pad small scalar vectors to one chunk: the device
                 # MSM skips zero digits, so padding is free
