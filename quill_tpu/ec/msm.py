@@ -48,8 +48,10 @@ B = fd.B
 LOG2_CHUNK = 16
 CHUNK = 1 << LOG2_CHUNK
 
-WINDOW_BITS = 13
-NUM_WINDOWS = (254 + WINDOW_BITS - 1) // WINDOW_BITS  # 20
+import os
+
+WINDOW_BITS = int(os.environ.get("QUILL_MSM_WINDOW_BITS", "13"))
+NUM_WINDOWS = (254 + WINDOW_BITS - 1) // WINDOW_BITS  # 20 at c=13
 NUM_BUCKETS = 1 << WINDOW_BITS
 
 
