@@ -158,7 +158,6 @@ def _k_affine_from_zinv(X, Y, zinv):
 def _batch_normalize(points_per_chunk: list):
     """Projective chunk points -> Montgomery affine (x, y) chunk arrays,
     with one host field inversion total."""
-    from ..fields.limbs import limbs_to_ints
     from ..fields.scalar import inv as sinv
 
     p_scans = [_k_prefix_fq(p[2]) for p in points_per_chunk]

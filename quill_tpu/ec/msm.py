@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fields.bn254 import P, R
+from ..fields.bn254 import P
 from ..utils.jaxcfg import configure_jax
 
 configure_jax()

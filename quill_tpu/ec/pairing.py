@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from ..fields.bn254 import ATE_LOOP_COUNT, P, R
 from .curve import Affine, Fq
-from .tower import XI, Fq2, Fq6, Fq12
+from .tower import Fq2, Fq6, Fq12
 
 # Tower: Fq12 = Fq6[w]/(w^2 - v), Fq6 = Fq2[v]/(v^3 - xi), so w^6 = xi.
 # The twist is D-type with b' = b/xi, hence untwisting is

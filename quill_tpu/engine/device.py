@@ -26,8 +26,6 @@ Engine ops not yet device-accelerated fall back to the host engine
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 
 from ..fields.bn254 import R

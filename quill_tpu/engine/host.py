@@ -16,7 +16,6 @@ import numpy as np
 from ..ec import curve
 from ..fields.bn254 import R
 from ..fields.scalar import batch_inverse as _batch_inverse_list
-from ..fields.scalar import inv
 
 
 class HostEngine:

@@ -14,8 +14,6 @@ Used by the full prover when a mesh is configured, and by the driver's
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 from ..fields.bn254 import R

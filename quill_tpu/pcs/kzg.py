@@ -17,7 +17,6 @@ from dataclasses import dataclass
 from ..ec import curve
 from ..ec.pairing import pairing_check
 from ..fields.bn254 import R
-from ..fields.scalar import inv
 
 
 @dataclass

@@ -23,7 +23,7 @@ from ..fields.bn254 import R
 from ..pcs import EvaluationClaim
 from ..transcript.transcript import Transcript
 from . import sumcheck
-from .virtual_poly import Const, Mul, Store, VirtualRef
+from .virtual_poly import Const, Store, VirtualRef
 from .zerocheck import eq_eval
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..fields.bn254 import R
-from ..fields.scalar import batch_inverse, inv
+from ..fields.scalar import batch_inverse
 from ..pcs import EvaluationClaim
 from ..transcript.transcript import Transcript
 from .virtual_poly import Store, VirtualRef

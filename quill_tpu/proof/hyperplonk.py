@@ -13,9 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ..fields.bn254 import R
-from ..pcs import EvaluationClaim
 from ..piops import permutation_check, zerocheck
-from ..piops.virtual_poly import Const, Mul, Store
+from ..piops.virtual_poly import Const, Store
 from ..transcript.transcript import Transcript
 from ..utils.profiling import phase
 from .circuit import Circuit

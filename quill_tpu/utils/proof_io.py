@@ -12,8 +12,6 @@ from __future__ import annotations
 import io
 
 from ..ec import curve
-from ..fields.bn254 import P
-from ..pcs.ipa import InnerProductProof
 from ..pcs.kzg import KZGOpeningProof
 from ..pcs.mlpcs import MLEvalProof
 from ..piops import multiset_check, permutation_check, sumcheck, zerocheck
