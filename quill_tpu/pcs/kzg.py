@@ -120,12 +120,56 @@ class KZG:
 
     def verify_opening(self, commitment: curve.Jacobian, proof: KZGOpeningProof) -> bool:
         """Pairing equation e(C - y G1, G2) = e(pi, tau G2 - x G2)
-        (`kzg.rs:98-108`), checked as one multi-pairing product == 1."""
+        (`kzg.rs:98-108`), checked as one multi-pairing product == 1.
+
+        When a deferred batch is active (`begin_deferred`), the check is
+        queued instead and settled by `flush_deferred` -- a random-linear-
+        combination batch with verifier-local coefficients, one 2-pair
+        multi-pairing for the whole batch (transcript-invisible; sound by
+        Schwartz-Zippel over the 128-bit coefficients)."""
+        if self._deferred is not None:
+            self._deferred.append((commitment, proof))
+            return True
         c_minus_y = commitment.add(self.g1.scalar_mul(proof.y).neg())
         tau_minus_x = self.g2_points[1].add(self.g2_points[0].scalar_mul(proof.x).neg())
         return pairing_check([
             (c_minus_y.to_affine(), self.g2.to_affine()),
             (proof.proof.neg().to_affine(), tau_minus_x.to_affine()),
+        ])
+
+    # -- deferred batched verification --------------------------------------
+    #
+    # For each queued opening:  e(C_i - y_i G, G2) = e(pi_i, tau G2 - x_i G2)
+    #   <=>  e(C_i - y_i G + x_i pi_i, G2) * e(-pi_i, tau G2) = 1.
+    # Batch with random c_i:
+    #   e(sum c_i C_i - (sum c_i y_i) G + sum (c_i x_i) pi_i, G2)
+    #     * e(-(sum c_i pi_i), tau G2) = 1
+    # i.e. three small host MSMs + one fixed-base mul + ONE multi-pairing.
+
+    _deferred = None
+
+    def begin_deferred(self) -> None:
+        self._deferred = []
+
+    def flush_deferred(self) -> bool:
+        import os as _os
+
+        batch = self._deferred
+        self._deferred = None
+        if not batch:
+            return True
+        cs = [int.from_bytes(_os.urandom(16), "little") | 1 for _ in batch]
+        comms = curve.batch_to_affine([c for c, _ in batch])
+        pis = curve.batch_to_affine([p.proof for _, p in batch])
+        sum_cC = curve.msm_host(comms, cs)
+        sum_cy = sum(c * (p.y % R) for c, (_, p) in zip(cs, batch)) % R
+        sum_cx_pi = curve.msm_host(pis, [c * (p.x % R) % R
+                                         for c, (_, p) in zip(cs, batch)])
+        sum_c_pi = curve.msm_host(pis, [c % R for c in cs])
+        left = sum_cC.add(self.g1.scalar_mul(sum_cy).neg()).add(sum_cx_pi)
+        return pairing_check([
+            (left.to_affine(), self.g2.to_affine()),
+            (sum_c_pi.neg().to_affine(), self.g2_points[1].to_affine()),
         ])
 
 

@@ -350,9 +350,20 @@ def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
         raise ValueError("Permutation trace commitment opening verification failed")
 
 
-def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs) -> None:
+def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
+           batch_pairings: bool | None = None) -> None:
     """`HyperPlonkProof::verify` (`proof.rs:493-522`).  Raises ValueError on
-    failure."""
+    failure.
+
+    batch_pairings (default: env QUILL_BATCH_PAIRINGS, else off): defer all
+    KZG pairing checks and settle them in one random-linear-combination
+    multi-pairing at the end -- transcript-invisible, ~10x fewer pairings.
+    """
+    import os
+
+    if batch_pairings is None:
+        batch_pairings = bool(os.environ.get("QUILL_BATCH_PAIRINGS"))
+
     transcript = Transcript(DOMAIN)
     for commitment in proof.witness_commitment:
         transcript.append_g1(commitment)
@@ -360,6 +371,17 @@ def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs) -> None:
     if len(vk.trace_vks) != len(proof.trace_proofs):
         raise ValueError("Number of trace VKS and proofs mismatch")
 
-    for i in range(len(vk.trace_vks)):
-        _verify_trace_proof(proof.witness_commitment[i], vk.trace_vks[i],
-                            pcs, proof.trace_proofs[i], transcript)
+    kzg = getattr(pcs, "kzg", None)
+    if batch_pairings and kzg is not None:
+        kzg.begin_deferred()
+    try:
+        for i in range(len(vk.trace_vks)):
+            _verify_trace_proof(proof.witness_commitment[i], vk.trace_vks[i],
+                                pcs, proof.trace_proofs[i], transcript)
+    except Exception:
+        if batch_pairings and kzg is not None:
+            kzg._deferred = None
+        raise
+    if batch_pairings and kzg is not None:
+        if not kzg.flush_deferred():
+            raise ValueError("Batched pairing verification failed")

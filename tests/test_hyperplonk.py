@@ -136,3 +136,25 @@ class TestHyperPlonk:
         proof.witness_commitment[0] = g1_generator().scalar_mul(7)
         with pytest.raises(ValueError):
             hyperplonk.verify(proof, hp.to_vk(), pcs)
+
+
+class TestBatchedPairingVerify:
+    def test_batched_verify_accepts_valid(self):
+        circuit, trace = get_fibonacci_circuit_and_trace()
+        pcs = make_pcs([circuit])
+        hp = HyperPlonk.preprocess([circuit], pcs)
+        proof = hp.prove([trace])
+        hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
+
+    def test_batched_verify_rejects_corrupt(self):
+        circuit, trace = get_fibonacci_circuit_and_trace()
+        pcs = make_pcs([circuit])
+        hp = HyperPlonk.preprocess([circuit], pcs)
+        proof = hp.prove([trace])
+        # corrupt a quotient commitment: only the (deferred) pairing check
+        # can catch this
+        op = proof.trace_proofs[0].openings_zero_check[0]
+        from quill_tpu.ec.curve import g1_generator
+        op.poly_opening.proof = g1_generator().scalar_mul(12345)
+        with pytest.raises(ValueError):
+            hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
