@@ -119,7 +119,17 @@ def bench_sumcheck_round(log2n: int):
     t_round = min(times)
     log(f"sumcheck round (msgs+fold, 4 tables, deg {degree}) at 2^{log2n}: "
         f"{t_round:.3f}s")
-    return t_round
+
+    # fused round (fold at r + next messages in one pass) -- the production
+    # path inside sumcheck.prove
+    eng.sumcheck_round_fused(tables, expr, degree, 123456789)  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        nt, msgs = eng.sumcheck_round_fused(tables, expr, degree, 123456789)
+        times.append(time.time() - t0)
+    log(f"FUSED sumcheck round at 2^{log2n}: {min(times):.3f}s")
+    return min(times)
 
 
 def bench_small_configs(extra):

@@ -274,6 +274,50 @@ def _get_eval_kernel(expr, used: tuple):
     return _EXPR_KERNELS[key]
 
 
+def _get_fused_round_kernel(expr, used: tuple, degree: int):
+    """Fused kernel: fold two input chunks at the previous challenge r, then
+    evaluate the round messages on the folded chunk.  Returns
+    (folded_chunks..., (degree+1, 22) lazy sums).  One dispatch per
+    chunk-pair per round instead of fold+messages passes."""
+    structure, _ = expr.key()
+    key = ("fused", structure, used, degree)
+    if key not in _EXPR_KERNELS:
+        t_np = np.stack([_mont_const_np(t) for t in range(degree + 1)],
+                        axis=1)  # (22, T, 1)
+
+        def kern(consts, r, *chunk_pairs):
+            # chunk_pairs: for each used table, (c0, c1)
+            t_col = jnp.asarray(t_np)
+            folded = []
+            vals = {}
+            for idx, (c0, c1) in zip(used, zip(chunk_pairs[0::2],
+                                               chunk_pairs[1::2])):
+                f = _k_fold_body(c0, c1, r)
+                folded.append(f)
+                lo = f[:, None, 0::2]
+                hi = f[:, None, 1::2]
+                diff = fd.sub(hi, lo, SPEC)
+                shape = (fd.L, degree + 1, lo.shape[2])
+                vals[idx] = fd.add(
+                    jnp.broadcast_to(lo, shape),
+                    fd.mont_mul(jnp.broadcast_to(t_col, shape),
+                                jnp.broadcast_to(diff, shape), SPEC), SPEC)
+            h = _emit_nd(expr, vals, consts, [0])
+            sums = jnp.sum(h, axis=2).transpose(1, 0)
+            return (*folded, sums)
+        _EXPR_KERNELS[key] = jax.jit(kern)
+    return _EXPR_KERNELS[key]
+
+
+def _k_fold_body(c0, c1, r):
+    def half(c):
+        lo = c[:, 0::2]
+        hi = c[:, 1::2]
+        return fd.add(lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
+                                      fd.sub(hi, lo, SPEC), SPEC), SPEC)
+    return jnp.concatenate([half(c0), half(c1)], axis=1)
+
+
 def _get_msgs_kernel(expr, used: tuple, degree: int):
     structure, _ = expr.key()
     key = ("msgs", structure, used, degree)
@@ -545,6 +589,43 @@ class TpuEngine:
         out = [_k_fold(v.chunks[2 * j], v.chunks[2 * j + 1], rc)
                for j in range(nch // 2)]
         return DVec(chunks=out, length=v.length // 2)
+
+    def sumcheck_round_fused(self, tables, expr, degree: int, r_prev: int):
+        """Fold every used table at `r_prev`, then compute the next round's
+        message sums -- one fused dispatch per chunk-pair.  Returns
+        (new_tables, msgs).  Falls back to fold+messages when any table is
+        off-device or only one chunk remains (handoff boundary)."""
+        used = tuple(sorted(expr.used_inputs()))
+        devs = [tables[i] for i in used if self._is_dev(tables[i])]
+        if not devs or len(devs) != len(used) or len(devs[0].chunks) < 2:
+            new_tables = list(tables)
+            for i in used:
+                new_tables[i] = self.fold(tables[i], r_prev)
+            return new_tables, self.sumcheck_messages(new_tables, expr, degree)
+        _, const_vals = expr.key()
+        consts = jnp.asarray(
+            np.stack([_mont_const_np(c) for c in const_vals], axis=0)
+            if const_vals else np.zeros((0, fd.L, 1), dtype=np.int32))
+        rc = jnp.asarray(_mont_const_np(r_prev))
+        kern = _get_fused_round_kernel(expr, used, degree)
+        nch = len(devs[0].chunks)
+        totals = np.zeros((degree + 1, fd.L), dtype=np.int64)
+        new_chunks = {i: [] for i in used}
+        for j in range(nch // 2):
+            pairs = []
+            for i in used:
+                pairs.append(tables[i].chunks[2 * j])
+                pairs.append(tables[i].chunks[2 * j + 1])
+            out = kern(consts, rc, *pairs)
+            for k, i in enumerate(used):
+                new_chunks[i].append(out[k])
+            totals += np.asarray(out[-1], dtype=np.int64)
+        new_tables = list(tables)
+        for i in used:
+            new_tables[i] = DVec(chunks=new_chunks[i],
+                                 length=tables[i].length // 2)
+        msgs = [_lazy_to_int(totals[t]) for t in range(degree + 1)]
+        return new_tables, msgs
 
     def sumcheck_messages(self, tables, expr, degree: int) -> list[int]:
         used = tuple(sorted(expr.used_inputs()))

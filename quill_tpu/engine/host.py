@@ -145,6 +145,14 @@ class HostEngine:
             out.append(int(h.sum() % R))
         return out
 
+    def sumcheck_round_fused(self, tables, expr, degree: int, r_prev: int):
+        """Fold + next-round messages (reference semantics, unfused)."""
+        used = sorted(expr.used_inputs())
+        new_tables = list(tables)
+        for i in used:
+            new_tables[i] = self.fold(tables[i], r_prev)
+        return new_tables, self.sumcheck_messages(new_tables, expr, degree)
+
     # ---- univariate polynomial ops ---------------------------------------
 
     def poly_eval(self, coeffs, x: int) -> int:

@@ -111,7 +111,13 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
     evaluation_point: list[int] = []
 
     for _round in range(num_vars):
-        msg_evals = engine.sumcheck_messages(tables, expr, degree)
+        if _round == 0:
+            msg_evals = engine.sumcheck_messages(tables, expr, degree)
+        else:
+            # fused: fold at the previous challenge + this round's messages
+            # in one device pass
+            tables, msg_evals = engine.sumcheck_round_fused(
+                tables, expr, degree, evaluation_point[-1])
         coeffs = interpolate_coeffs(msg_evals)
         # strip for serialization parity with DensePolynomial
         stripped = list(coeffs)
@@ -123,8 +129,9 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
         r = transcript.draw_field_element()
         evaluation_point.append(r)
 
-        for i in used:
-            tables[i] = engine.fold(tables[i], r)
+    # final fold at the last challenge to obtain the evaluation vector
+    for i in used:
+        tables[i] = engine.fold(tables[i], evaluation_point[-1])
 
     final_evals = [0] * num_inputs
     for i in used:
