@@ -197,3 +197,22 @@ class TestCurveAndMsm:
         got = msm_mod.msm_device(basis,
                                  [jnp.asarray(ints_to_limbs(scalars))], n)
         assert got == curve.msm_host(affs, scalars)
+
+
+class TestFusedSumcheckRound:
+    def test_fused_round_matches_host(self, engines, data):
+        from quill_tpu.piops.virtual_poly import Input
+
+        eng, host = engines
+        a, b = data
+        expr = Input(0) * Input(1)
+        deg = expr.degree()
+        d_tables = [eng.vec_from_ints(a), eng.vec_from_ints(b)]
+        h_tables = [host.vec_from_ints(a), host.vec_from_ints(b)]
+        r = 424242424242 % R
+        d_new, d_msgs = eng.sumcheck_round_fused(d_tables, expr, deg, r)
+        h_new, h_msgs = host.sumcheck_round_fused(h_tables, expr, deg, r)
+        assert d_msgs == h_msgs
+        for dv, hv in zip(d_new, h_new):
+            got = [int(x) for x in eng.vec_to_ints(dv)]
+            assert got == [int(x) for x in hv]
