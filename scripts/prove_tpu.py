@@ -85,7 +85,7 @@ def main():
     log(f"proof serialized: {len(data)} bytes -> {out_path}")
 
     t0 = time.time()
-    hyperplonk.verify(proof, hp.to_vk(), pcs)
+    hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
     log(f"VERIFY: {time.time()-t0:.1f}s")
     from quill_tpu.utils.profiling import metrics
 
