@@ -202,3 +202,93 @@ def sharded_msm_partials(mesh, scalars, base_x, base_y):
         in_specs=(P(None, "x"), P(None, "x"), P(None, "x")),
         out_specs=(P("x", None, None),) * 3)
     return jax.jit(shard_fn)(scalars, base_x, base_y)
+
+
+# -- protocol-level sharded sumcheck prover ----------------------------------
+
+
+def sharded_sumcheck_prove(mesh, num_vars: int, tables: list, expr,
+                           claimed_sum: int, transcript,
+                           min_device_size: int = 512):
+    """Full sumcheck prover over a device mesh: transcript-identical to
+    `piops.sumcheck.prove` (same round messages, challenges and claim), with
+    the hypercube tables sharded over the mesh for every large round and an
+    exact host tail once the table is small.
+
+    tables: list indexed by expression input index; unused entries may be
+    None; entries are host int lists (length 2^num_vars).
+    """
+    from ..engine.host import HostEngine
+    from ..fields.limbs import limbs_to_ints
+    from ..pcs import EvaluationClaim
+    from ..piops.sumcheck import interpolate_coeffs
+    from .mesh import shard_tables
+
+    host = HostEngine()
+    used = tuple(sorted(expr.used_inputs()))
+    degree = expr.degree()
+
+    transcript.append_usize(num_vars)
+    transcript.append_field(claimed_sum % R)
+
+    _, const_vals = expr.key()
+    consts_np = (np.stack([ints_to_limbs(
+        [c * ((1 << fd.R_BITS) % R) % R]) for c in const_vals], axis=0)
+        if const_vals else np.zeros((0, fd.L, 1), dtype=np.int32))
+    sc = ShardedSumcheck(mesh, expr, used, degree, consts_np)
+    dev_tables = ShardedSumcheck.stack_tables(
+        mesh, [[int(x) for x in tables[i]] for i in used])
+
+    def to_host(dev):
+        canon = jax.jit(lambda x: fd.from_mont(x, fd.FR))(dev)
+        arr = np.asarray(canon)
+        out = [None] * (max(used) + 1)
+        for k, i in enumerate(used):
+            out[i] = host.vec_from_ints(limbs_to_ints(arr[:, k, :]))
+        return out
+
+    output_r_polys = []
+    evaluation_point = []
+    host_tables = None
+    r = None
+
+    for rnd in range(num_vars):
+        if rnd > 0:
+            # fold every used table at the previous challenge
+            if host_tables is None:
+                dev_tables = sc.fold(dev_tables, r)
+                if dev_tables.shape[2] <= min_device_size:
+                    host_tables = to_host(dev_tables)
+            else:
+                for i in used:
+                    host_tables[i] = host.fold(host_tables[i], r)
+        if host_tables is None:
+            msg_evals = sc.messages(dev_tables)
+        else:
+            msg_evals = host.sumcheck_messages(host_tables, expr, degree)
+
+        coeffs = interpolate_coeffs(msg_evals)
+        stripped = list(coeffs)
+        while stripped and stripped[-1] == 0:
+            stripped.pop()
+        transcript.append_dense_poly(stripped)
+        output_r_polys.append(stripped)
+        r = transcript.draw_field_element()
+        evaluation_point.append(r)
+
+    # final fold for the evaluation vector
+    if host_tables is None:
+        host_tables = to_host(dev_tables)
+    for i in used:
+        host_tables[i] = host.fold(host_tables[i], r)
+
+    final_evals = [0] * (max(used) + 1)
+    for i in used:
+        final_evals[i] = int(host.vec_to_ints(host_tables[i])[0])
+    evaluation = expr.evaluate(final_evals)
+
+    from ..piops.sumcheck import SumcheckProof
+
+    return (SumcheckProof(num_vars=num_vars, claimed_sum=claimed_sum % R,
+                          r_polys=output_r_polys),
+            EvaluationClaim(point=evaluation_point, evaluation=evaluation))
