@@ -62,17 +62,48 @@ def main():
     log(f"witness built ({rows} rows): {time.time()-t0:.1f}s")
 
     max_degree = circuit.num_cols() * rows
+    if os.environ.get("QUILL_PROVE_MULTITRACE"):
+        max_degree = 8 * rows  # nonlinear variant pads to 8 columns
     t0 = time.time()
     kzg = KZG.device_setup(engine, max_degree)
     pcs = MultilinearPCS(kzg)
     log(f"CRS (device tau-powers, degree {max_degree}): {time.time()-t0:.1f}s")
 
+    circuits = [circuit]
+    traces = [TraceWitness(columns=witness)]
+    if os.environ.get("QUILL_PROVE_MULTITRACE"):
+        # second trace: the reference's nonlinear Fibonacci variant
+        # (`test_basic_proof.rs:54-105`) at the same size
+        c2 = TransitionCircuit.new(rows)
+        a1 = c2.allocate_state_cell()
+        a2 = c2.allocate_state_cell()
+        tmp = c2.allocate_witness_cell()
+        c2.enforce_boundary_constraint(0, a1.current.to_expr() - Const(1))
+        c2.enforce_boundary_constraint(0, a2.current.to_expr() - Const(1))
+        c2.enforce_constraint(
+            tmp.to_expr() - a1.current.to_expr() * a2.current.to_expr())
+        c2.enforce_constraint(
+            a2.next.to_expr() - (a1.current.to_expr() + tmp.to_expr()))
+        c2.enforce_constraint(a1.next.to_expr() - a2.current.to_expr())
+        w2 = [[0] * rows for _ in range(c2.num_cols())]
+        x, y = 1, 1
+        for row in range(rows):
+            w2[a1.current.col][row] = x
+            w2[a2.current.col][row] = y
+            w2[a1.next.col][row] = y
+            w2[tmp.col][row] = x * y % R
+            w2[a2.next.col][row] = (x + x * y) % R
+            x, y = y, (x + x * y) % R
+        circuits.append(c2)
+        traces.append(TraceWitness(columns=w2))
+        log("multitrace mode: 2 traces")
+
     t0 = time.time()
-    hp = HyperPlonk.preprocess([circuit], pcs)
+    hp = HyperPlonk.preprocess(circuits, pcs)
     log(f"preprocess: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    proof = hp.prove([TraceWitness(columns=witness)])
+    proof = hp.prove(traces)
     t_prove = time.time() - t0
     log(f"PROVE: {t_prove:.1f}s")
 
