@@ -59,12 +59,18 @@ def int_to_limbs8(x: int) -> np.ndarray:
 @dataclass(frozen=True)
 class FieldSpec8:
     """Montgomery parameters for one modulus, plus the constant REDC
-    matrices (host numpy; moved to device at trace time)."""
+    matrices and weight vectors.  Fields are host numpy here; the Pallas
+    layer substitutes a duck-typed spec whose array fields are traced kernel
+    operands (Pallas kernels cannot capture array constants) -- every op
+    below only reads these via attributes, so both work."""
 
     modulus: int
     p_limbs: np.ndarray        # (33,) f32
     pp_mat: np.ndarray         # (33, 33) f32: [k, j] = p'_{k-j} (k >= j)
     p_mat: np.ndarray          # (66, 33) f32: [k, j] = p_{k-j} (0 <= k-j < 33)
+    kp4: np.ndarray            # (33,) f32, canonical limbs of 4*p
+    w_spill: np.ndarray        # (33,) f32, 2^(8i-264) (REDC spill detect)
+    w252: np.ndarray           # (33,) f32, 2^(8i-252) (lazy_reduce estimate)
     r_mod_p: int
     r2_limbs: np.ndarray       # (33,) f32, R^2 mod p
     one_mont: np.ndarray       # (33,) f32, R mod p
@@ -86,11 +92,19 @@ class FieldSpec8:
                 if j + k < L:
                     pp_mat[j + k, j] = pp_l[k]
                 p_mat[j + k, j] = p_l[k]
+        # sub-2^-126 weights flush to 0 in f32: benign, those limbs'
+        # contribution to the estimates is < 2^-130 (documented at use sites)
+        w_spill = np.ldexp(np.ones(L), 8 * np.arange(L) - 264).astype(
+            np.float32)
+        w252 = np.ldexp(np.ones(L), 8 * np.arange(L) - 252).astype(np.float32)
         return FieldSpec8(
             modulus=modulus,
             p_limbs=p_l,
             pp_mat=pp_mat,
             p_mat=p_mat,
+            kp4=int_to_limbs8(4 * modulus),
+            w_spill=w_spill,
+            w252=w252,
             r_mod_p=r_mod,
             r2_limbs=int_to_limbs8(r2),
             one_mont=int_to_limbs8(r_mod),
@@ -191,8 +205,7 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
     # < 2R  =>  in {-R, 0, R}; detect with a float dot (error << 0.5)
     low = total[:L]
     hi = total[L:]
-    w = np.ldexp(np.ones(L, np.float32), 8 * np.arange(L) - 264)
-    s = jnp.sum(low * _col(w, low.ndim).astype(jnp.float32), axis=0)
+    s = _scalar_dot(low, spec.w_spill)
     spill = jnp.floor(s + 0.5)
     hi = jnp.concatenate([hi[:1] + spill[None], hi[1:]], axis=0)
     return hi
@@ -208,12 +221,25 @@ def mont_mul_const(a: jnp.ndarray, c_mont: np.ndarray,
 # add / sub / partial reduction
 # ---------------------------------------------------------------------------
 
-_W252 = None
+def _scalar_dot(x: jnp.ndarray, weights: np.ndarray) -> jnp.ndarray:
+    """sum_i x[i] * w_i with the weights unrolled as python scalars
+    (Mosaic-friendly: no captured constant arrays, no 1D->ND reshapes)."""
+    acc = None
+    for i in range(x.shape[0]):
+        w = float(weights[i])
+        if w == 0.0:
+            continue
+        term = x[i] * w
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else jnp.zeros_like(x[0])
 
 
-def _weights252(ndim: int) -> jnp.ndarray:
-    w = np.ldexp(np.ones(L, np.float32), 8 * np.arange(L) - 252)
-    return _col(w, ndim)
+def _add_scaled_rows(x: jnp.ndarray, q: jnp.ndarray,
+                     consts: np.ndarray, sign: float) -> jnp.ndarray:
+    """rows x[i] + sign * q * c_i, unrolled python-scalar constants."""
+    return jnp.stack(
+        [x[i] + q * (sign * float(consts[i])) if float(consts[i]) != 0.0
+         else x[i] for i in range(x.shape[0])], axis=0)
 
 
 def lazy_reduce(x: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
@@ -221,11 +247,11 @@ def lazy_reduce(x: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
     capping |value| back below ~2.2p.  Exact (q is an integer; only its
     choice is approximate and the slack absorbs the error).  Input
     |value| < ~40p, |limb| < 2^22."""
-    est = jnp.sum(x * _weights252(x.ndim), axis=0)
+    est = _scalar_dot(x, spec.w252)
     ratio = float(spec.modulus) / float(2.0 ** 252)
-    q = jnp.maximum(jnp.floor(est / ratio) - 1.0, 0.0)
-    p_col = _col(spec.p_limbs, x.ndim)
-    return carry_round(x - q[None] * p_col, mod_r=False)
+    q = jnp.maximum(jnp.floor(est * (1.0 / ratio)) - 1.0, 0.0)
+    return carry_round(_add_scaled_rows(x, q, spec.p_limbs, -1.0),
+                       mod_r=False)
 
 
 def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -234,8 +260,11 @@ def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def lazy_sub(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec8,
              k: int = 4) -> jnp.ndarray:
-    kp = int_to_limbs8(k * spec.modulus)
-    return carry_round(a - b + _col(kp, a.ndim), mod_r=False)
+    kp = spec.kp4 if k == 4 else int_to_limbs8(k * spec.modulus)
+    d = a - b
+    return carry_round(
+        jnp.stack([d[i] + float(kp[i]) for i in range(L)], axis=0),
+        mod_r=False)
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
