@@ -762,8 +762,13 @@ class TpuEngine:
         return msm_mod.slice_basis(basis, n)
 
     def msm(self, basis, scalars):
+        import os
+
         from ..ec import curve
-        from ..ec import msm as msm_mod
+        if os.environ.get("QUILL_MSM_IMPL", "8") == "8":
+            from ..ec import msm8 as msm_mod
+        else:
+            from ..ec import msm as msm_mod
 
         if not self._is_dev(scalars):
             n = self.host.vec_len(scalars)

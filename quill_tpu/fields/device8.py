@@ -66,6 +66,7 @@ class FieldSpec8:
 
     modulus: int
     p_limbs: np.ndarray        # (33,) f32
+    pp_limbs: np.ndarray       # (33,) f32, limbs of p' = -p^{-1} mod R
     pp_mat: np.ndarray         # (33, 33) f32: [k, j] = p'_{k-j} (k >= j)
     p_mat: np.ndarray          # (66, 33) f32: [k, j] = p_{k-j} (0 <= k-j < 33)
     kp4: np.ndarray            # (33,) f32, canonical limbs of 4*p
@@ -100,6 +101,7 @@ class FieldSpec8:
         return FieldSpec8(
             modulus=modulus,
             p_limbs=p_l,
+            pp_limbs=pp_l,
             pp_mat=pp_mat,
             p_mat=p_mat,
             kp4=int_to_limbs8(4 * modulus),
@@ -189,13 +191,22 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
     # |col| < 2^23.8 -> < 2^16 -> < 452 -> [-1, 384) -> [-1, 256]
     t_low = _carry_n(t[:L], 4, mod_r=True)
 
-    # m = (t_low * p') mod R on the MXU, then normalized to [-1, 256]:
-    # matmul columns < 2^22 -> 4 carry rounds (mod R)
-    m = _redc_dot(spec.pp_mat, t_low)
+    # m = (t_low * p') mod R, then normalized to [-1, 256]:
+    # columns < 2^22 -> 4 carry rounds (mod R).  Two strategies: bf16 MXU
+    # matmuls (fastest standalone) or unrolled scalar-constant VPU FMAs
+    # (fastest inside scan kernels, where the dot's 2D reshape would force
+    # a sublane<->lane relayout of every operand).
+    if getattr(spec, "vpu_redc", False):
+        m = _tconv_scalar(t_low, spec.pp_limbs, truncate=True)
+    else:
+        m = _redc_dot(spec.pp_mat, t_low)
     m = _carry_n(m, 4, mod_r=True)
 
     # total = T + m*p: |col| < 2^23.8 + 2^22 < 2^24  (exact adds)
-    mp = _redc_dot(spec.p_mat, m)
+    if getattr(spec, "vpu_redc", False):
+        mp = _tconv_scalar(m, spec.p_limbs, truncate=False)
+    else:
+        mp = _redc_dot(spec.p_mat, m)
     total = t + mp
 
     # two value-preserving carry rounds: limbs in (-452, 452)
@@ -209,6 +220,29 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
     spill = jnp.floor(s + 0.5)
     hi = jnp.concatenate([hi[:1] + spill[None], hi[1:]], axis=0)
     return hi
+
+
+def _tconv_scalar(x: jnp.ndarray, consts: np.ndarray,
+                  truncate: bool) -> jnp.ndarray:
+    """Convolution of limb rows with a constant limb vector, unrolled with
+    python-scalar multipliers on the VPU.  truncate=True keeps only the low
+    L columns (mod R); otherwise emits 2L columns."""
+    xl = [x[i] for i in range(L)]
+    n_out = L if truncate else 2 * L
+    cols = [None] * n_out
+    for j in range(L):
+        xj = xl[j]
+        for k in range(L):
+            c = float(consts[k])
+            if c == 0.0:
+                continue
+            kk = j + k
+            if kk >= n_out:
+                break
+            term = xj * c
+            cols[kk] = term if cols[kk] is None else cols[kk] + term
+    zero = jnp.zeros_like(xl[0])
+    return jnp.stack([zero if c is None else c for c in cols], axis=0)
 
 
 def mont_mul_const(a: jnp.ndarray, c_mont: np.ndarray,
@@ -252,6 +286,14 @@ def lazy_reduce(x: jnp.ndarray, spec: FieldSpec8) -> jnp.ndarray:
     q = jnp.maximum(jnp.floor(est * (1.0 / ratio)) - 1.0, 0.0)
     return carry_round(_add_scaled_rows(x, q, spec.p_limbs, -1.0),
                        mod_r=False)
+
+
+def normal_form(x: jnp.ndarray) -> jnp.ndarray:
+    """Two value-preserving carry rounds: any |limb| <= 2^13 input lands in
+    [-1, 256] -- every such integer is exactly representable in bfloat16, so
+    normal-form values can be stored as bf16 at rest (halving HBM traffic
+    for point/table arrays) and reloaded exactly."""
+    return _carry_n(x, 2, mod_r=False)
 
 
 def lazy_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

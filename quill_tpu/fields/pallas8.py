@@ -46,11 +46,13 @@ _PACK_ROWS = 3 * L  # pp_mat (33 rows) + p_mat (66 rows)
 class _TracedSpec:
     modulus: int
     p_limbs: np.ndarray
+    pp_limbs: np.ndarray
     kp4: np.ndarray
     w_spill: np.ndarray
     w252: np.ndarray
     pp_mat: jnp.ndarray
     p_mat: jnp.ndarray
+    vpu_redc: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,17 +63,19 @@ def consts_pack(modulus: int) -> np.ndarray:
     return pack.astype(np.float32)
 
 
-def unpack_spec(modulus: int, pack) -> _TracedSpec:
+def unpack_spec(modulus: int, pack, vpu_redc: bool = False) -> _TracedSpec:
     """Rebuild a spec view over a traced consts-pack (inside a kernel)."""
     spec = f8.FieldSpec8.make(modulus)
     return _TracedSpec(
         modulus=modulus,
         p_limbs=spec.p_limbs,
+        pp_limbs=spec.pp_limbs,
         kp4=spec.kp4,
         w_spill=spec.w_spill,
         w252=spec.w252,
         pp_mat=pack[:L],
         p_mat=pack[L:3 * L],
+        vpu_redc=vpu_redc,
     )
 
 
@@ -116,7 +120,7 @@ def _mul_kernel(modulus: int, c_ref, a_ref, b_ref, o_ref):
 @functools.lru_cache(maxsize=None)
 def _mul_call(modulus: int, block: int):
     in_specs, out_spec = _specs(2, block)
-    pack = jnp.asarray(consts_pack(modulus))
+    pack = consts_pack(modulus)  # numpy: concrete under any trace
 
     def run(a, b):
         grid = (a.shape[-1] // block,)
@@ -195,7 +199,7 @@ def _pt_add_kernel(modulus, c_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
 @functools.lru_cache(maxsize=None)
 def _pt_add_call(modulus: int, block: int):
     in_specs, out_spec = _specs(6, block)
-    pack = jnp.asarray(consts_pack(modulus))
+    pack = consts_pack(modulus)  # numpy: concrete under any trace
 
     def run(x1, y1, z1, x2, y2, z2):
         grid = (x1.shape[-1] // block,)
@@ -220,3 +224,311 @@ def pt_add_vec(p1: tuple, p2: tuple) -> tuple:
         coords.append(c)
     out = _pt_add_call(f8.FQ8.modulus, BLOCK)(*coords)
     return tuple(c[:, :n] for c in out)
+
+
+# ---------------------------------------------------------------------------
+# bf16 normal-form variants (points at rest are bf16 limbs in [-1, 256] --
+# exact, half the HBM traffic of f32; kernels compute in f32 and re-normalize
+# before storing)
+# ---------------------------------------------------------------------------
+
+
+def _ld(ref):
+    """Load a (L, block) ref -> f32 3D tile."""
+    return _to3d(ref[:])
+
+
+def _st(ref, val):
+    ref[:] = val.reshape(L, val.shape[-2] * 128)
+
+
+def _pt_add_b16_kernel(modulus, c_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    spec = unpack_spec(modulus, c_ref[:])
+    X3, Y3, Z3 = emit_pt_add((_ld(x1), _ld(y1), _ld(z1)),
+                             (_ld(x2), _ld(y2), _ld(z2)), spec)
+    _st(ox, X3)
+    _st(oy, Y3)
+    _st(oz, Z3)
+
+
+@functools.lru_cache(maxsize=None)
+def _pt_add_b16_call(block: int):
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    pack = consts_pack(f8.FQ8.modulus)  # numpy: concrete under any trace
+
+    def run(*coords):
+        grid = (coords[0].shape[-1] // block,)
+        return pl.pallas_call(
+            functools.partial(_pt_add_b16_kernel, f8.FQ8.modulus),
+            out_shape=[jax.ShapeDtypeStruct(coords[0].shape,
+                                            jnp.float32)] * 3,
+            grid=grid,
+            in_specs=[_consts_spec()] + [dspec] * 6,
+            out_specs=[dspec] * 3,
+            interpret=_interpret(),
+        )(pack, *coords)
+
+    return jax.jit(run)
+
+
+def pt_add_b16(p1: tuple, p2: tuple) -> tuple:
+    """Complete G1 addition on bf16 normal-form coords -> bf16."""
+    n = p1[0].shape[-1]
+    coords = [_pad_cols(c, BLOCK)[0] for c in (*p1, *p2)]
+    out = _pt_add_b16_call(BLOCK)(*coords)
+    return tuple(c[:, :n] for c in out)
+
+
+def _seg_combine_kernel(modulus, c_ref, x1, y1, z1, f1, x2, y2, z2, f2,
+                        ox, oy, oz, of):
+    """Segmented-scan combine: (v1,f1) . (v2,f2) = (f2 ? v2 : v1+v2, f1|f2).
+    Flags are f32 0/1 rows of shape (1, block)."""
+    spec = unpack_spec(modulus, c_ref[:])
+    X3, Y3, Z3 = emit_pt_add((_ld(x1), _ld(y1), _ld(z1)),
+                             (_ld(x2), _ld(y2), _ld(z2)), spec)
+    m = f2[:].reshape(1, f2.shape[-1] // 128, 128) > 0.5
+    for ref, summed, keep in ((ox, X3, x2), (oy, Y3, y2), (oz, Z3, z2)):
+        v = jnp.where(m, _ld(keep), summed)
+        ref[:] = v.reshape(L, v.shape[-2] * 128)
+    of[:] = jnp.maximum(f1[:], f2[:])
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_combine_call(block: int):
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    pack = consts_pack(f8.FQ8.modulus)  # numpy: concrete under any trace
+
+    def run(x1, y1, z1, f1, x2, y2, z2, f2):
+        grid = (x1.shape[-1] // block,)
+        cshape = jax.ShapeDtypeStruct(x1.shape, jnp.float32)
+        fshape = jax.ShapeDtypeStruct(f1.shape, jnp.float32)
+        return pl.pallas_call(
+            functools.partial(_seg_combine_kernel, f8.FQ8.modulus),
+            out_shape=[cshape, cshape, cshape, fshape],
+            grid=grid,
+            in_specs=[_consts_spec()] + [dspec] * 3 + [fspec]
+                     + [dspec] * 3 + [fspec],
+            out_specs=[dspec] * 3 + [fspec],
+            interpret=_interpret(),
+        )(pack, x1, y1, z1, f1, x2, y2, z2, f2)
+
+    return jax.jit(run)
+
+
+def seg_combine(a: tuple, b: tuple) -> tuple:
+    """((coords3, flag), (coords3, flag)) -> (coords3, flag); f32 coords,
+    (1, N) f32 flags.  The segmented-scan combine for sorted-bucket MSM."""
+    (v1, f1), (v2, f2) = a, b
+    n = v1[0].shape[-1]
+    args = []
+    for c in (*v1,):
+        args.append(_pad_cols(c, BLOCK)[0])
+    args.append(_pad_cols(f1, BLOCK)[0])
+    for c in (*v2,):
+        args.append(_pad_cols(c, BLOCK)[0])
+    args.append(_pad_cols(f2, BLOCK)[0])
+    ox, oy, oz, of = _seg_combine_call(BLOCK)(*args)
+    return (ox[:, :n], oy[:, :n], oz[:, :n]), of[:, :n]
+
+
+def pt_identity_b16(n: int) -> tuple:
+    """(0 : 1 : 0) lazy-limb coords, (33, n) f32."""
+    zero = jnp.zeros((L, n), jnp.float32)
+    one = jnp.broadcast_to(
+        jnp.asarray(f8.FQ8.one_mont, jnp.float32)[:, None], (L, n))
+    return zero, one, zero
+
+
+# ---------------------------------------------------------------------------
+# segmented point scan: the MSM bucket-sum workhorse, ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# Input layout: coords (33, S, M) bf16 and flags (1, S, M) f32, where S is
+# the scan (step) axis and M the lane axis (independent scans).  The grid is
+# (lane_tiles, step_chunks); scratch VMEM carries the running state across
+# step chunks (TPU grids run sequentially, last dimension innermost), reset
+# when a new lane tile begins.  One kernel launch replaces S per-step
+# launches (launch overhead measured ~1 ms each -- it dominated a 256-step
+# scan as 300 ms/chunk).
+
+
+def _ident_rows(shape3):
+    """Identity point coordinate rows as f32, via python-scalar fulls."""
+    one = f8.FQ8.one_mont
+    zero = jnp.zeros(shape3, jnp.float32)
+    oney = jnp.stack([jnp.full(shape3[1:], float(one[i]), jnp.float32)
+                      for i in range(L)], axis=0)
+    return zero, oney, zero
+
+
+def _split3(v):
+    """Stacked (3L, ...) coords -> 3 x (L, ...) (static row slices)."""
+    return v[:L], v[L:2 * L], v[2 * L:]
+
+
+def identity_stacked(n: int) -> jnp.ndarray:
+    """(0 : 1 : 0) as one stacked (3L, n) f32 array."""
+    z, o, _ = pt_identity_b16(n)
+    return jnp.concatenate([z, o, z], axis=0)
+
+
+def _seg_scan_kernel(bc, sub, c_ref, xs_ref, xf, ys_ref, sv, sf):
+    """Stacked segmented point scan.  Refs:
+      xs/ys: (bc, 3L, sub, 128) -- ONE input and ONE output stream; every
+             extra output stream measured +~50 ms per 2^16 chunk (per-grid-
+             step DMA scheduling), so coords travel stacked;
+      xf:    (bc, 1, sub, 128) segment-start flags;
+      sv:    (3L, sub, 128) f32 scratch carrying the running state across
+             step-chunks (TPU grids are sequential, last dim innermost);
+      sf:    (1, sub, 128) running flag-or (reset per lane tile).
+    The step axis leads (untiled) so dynamic per-step slices are legal."""
+    spec = unpack_spec(f8.FQ8.modulus, c_ref[:], vpu_redc=True)
+    j = pl.program_id(1)
+    s3 = (L, sub, 128)
+
+    @pl.when(j == 0)
+    def _():
+        zx, oy_i, zz = _ident_rows(s3)
+        sv[:] = jnp.concatenate([zx, oy_i, zz], axis=0)
+        sf[:] = jnp.zeros((1,) + s3[1:], jnp.float32)
+
+    def step(s, carry):
+        xt = _split3(xs_ref[pl.ds(s, 1)].reshape((3 * L,) + s3[1:]))
+        ft = xf[pl.ds(s, 1)].reshape((1,) + s3[1:])
+        cur = _split3(sv[:])
+        X3, Y3, Z3 = emit_pt_add(cur, xt, spec)
+        m = ft > 0.5
+        new = jnp.concatenate(
+            [jnp.where(m, t, v) for t, v in zip(xt, (X3, Y3, Z3))], axis=0)
+        ys_ref[pl.ds(s, 1)] = new.reshape((1, 3 * L) + s3[1:])
+        sv[:] = new
+        sf[:] = jnp.maximum(sf[:], ft)
+        return carry
+
+    jax.lax.fori_loop(0, bc, step, 0)
+
+
+_SCAN_SUB = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_scan_call(s_len: int, m_len: int, bc: int, sub: int):
+    pack = consts_pack(f8.FQ8.modulus)
+    mt = m_len // 128
+    grid = (mt // sub, s_len // bc)
+    cspec = pl.BlockSpec((bc, 3 * L, sub, 128), lambda i, j: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((bc, 1, sub, 128), lambda i, j: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    cshape = jax.ShapeDtypeStruct((s_len, 3 * L, mt, 128), jnp.float32)
+
+    def run(xs, xf):
+        def r4(a):
+            return a.reshape(s_len, a.shape[1], mt, 128)
+        out = pl.pallas_call(
+            functools.partial(_seg_scan_kernel, bc, sub),
+            out_shape=cshape,
+            grid=grid,
+            in_specs=[pl.BlockSpec((_PACK_ROWS, L), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM), cspec, fspec],
+            out_specs=cspec,
+            scratch_shapes=[
+                pltpu.VMEM((3 * L, sub, 128), jnp.float32),
+                pltpu.VMEM((1, sub, 128), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(pack, r4(xs), r4(xf))
+        return out.reshape(s_len, 3 * L, m_len)
+
+    return jax.jit(run)
+
+
+def seg_scan(xs: jnp.ndarray, flags: jnp.ndarray, bc: int = 8,
+             sub: int = _SCAN_SUB) -> jnp.ndarray:
+    """Segmented inclusive scan of G1 points along axis 0.
+
+    xs: (S, 3L, M) stacked f32 lazy-limb coords; flags: (S, 1, M) f32 0/1
+    segment-start markers.  Returns ys (S, 3L, M); per-lane totals are
+    ys[-1].  The within-block flag-prefix is NOT returned -- compute it as
+    jnp.cummax(flags, axis=0) (cheap XLA op) when needed."""
+    s_len = xs.shape[0]
+    m = xs.shape[2]
+    pad = (-m) % (sub * 128)
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, pad)))
+        flags = jnp.pad(flags, ((0, 0), (0, 0), (0, pad)))
+    bc = min(bc, s_len)
+    assert s_len % bc == 0
+    ys = _seg_scan_call(s_len, m + pad, bc, sub)(xs, flags)
+    return ys[..., :m]
+
+
+# ---------------------------------------------------------------------------
+# stacked combine / add (same one-stream principle)
+# ---------------------------------------------------------------------------
+
+
+def _stacked_combine_kernel(with_flags, c_ref, *refs):
+    if with_flags:
+        a_ref, fa_ref, b_ref, fb_ref, o_ref = refs
+    else:
+        a_ref, b_ref, o_ref = refs
+    spec = unpack_spec(f8.FQ8.modulus, c_ref[:])
+    n = a_ref.shape[-1]
+    s3 = (L, n // 128, 128)
+    av = _split3(a_ref[:].reshape((3 * L,) + s3[1:]))
+    bv = _split3(b_ref[:].reshape((3 * L,) + s3[1:]))
+    X3, Y3, Z3 = emit_pt_add(av, bv, spec)
+    summed = (X3, Y3, Z3)
+    if with_flags:
+        m = fb_ref[:].reshape((1,) + s3[1:]) > 0.5
+        out = jnp.concatenate(
+            [jnp.where(m, t, v) for t, v in zip(bv, summed)], axis=0)
+    else:
+        out = jnp.concatenate(summed, axis=0)
+    o_ref[:] = out.reshape(3 * L, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _stacked_combine_call(block: int, with_flags: bool):
+    pack = consts_pack(f8.FQ8.modulus)
+    cspec = pl.BlockSpec((3 * L, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    in_specs = ([cspec, fspec, cspec, fspec] if with_flags
+                else [cspec, cspec])
+
+    def run(*args):
+        grid = (args[0].shape[-1] // block,)
+        return pl.pallas_call(
+            functools.partial(_stacked_combine_kernel, with_flags),
+            out_shape=jax.ShapeDtypeStruct(args[0].shape, jnp.float32),
+            grid=grid,
+            in_specs=[pl.BlockSpec((_PACK_ROWS, L), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] + in_specs,
+            out_specs=cspec,
+            interpret=_interpret(),
+        )(pack, *args)
+
+    return jax.jit(run)
+
+
+def seg_combine_stacked(a, fa, b, fb):
+    """Stacked-coords segmented combine: fb ? b : a+b.  (3L, N) arrays."""
+    n = a.shape[-1]
+    args = [_pad_cols(x, BLOCK)[0] for x in (a, fa, b, fb)]
+    out = _stacked_combine_call(BLOCK, True)(*args)
+    return out[:, :n]
+
+
+def pt_add_stacked(a, b):
+    """Stacked-coords complete G1 addition: (3L, N) + (3L, N) -> (3L, N)."""
+    n = a.shape[-1]
+    args = [_pad_cols(x, BLOCK)[0] for x in (a, b)]
+    out = _stacked_combine_call(BLOCK, False)(*args)
+    return out[:, :n]

@@ -1,0 +1,100 @@
+"""Output-configuration experiments for the scan kernel."""
+import functools
+import time
+import numpy as np
+from quill_tpu.utils.jaxcfg import configure_jax
+configure_jax()
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from quill_tpu.fields import device8 as f8
+from quill_tpu.fields import pallas8 as p8
+
+L = f8.L
+S, M = 256, 5120
+MT = M // 128
+
+def sync(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    for l in leaves: jax.block_until_ready(l)
+    np.asarray(jax.device_get(leaves[0].ravel()[0]))
+
+def timed(name, fn, *args, reps=3):
+    sync(fn(*args)); best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter(); sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best*1e3:.1f} ms  (net ~{best*1e3-52:.0f})")
+
+def make(bc, sub, stacked):
+    pack = p8.consts_pack(f8.FQ8.modulus)
+
+    def kern(c_ref, xx, xy, xz, xf, *refs):
+        if stacked:
+            oall, sx, sy, sz = refs
+        else:
+            ox, oy, oz, sx, sy, sz = refs
+        spec = p8.unpack_spec(f8.FQ8.modulus, c_ref[:], vpu_redc=True)
+        s3 = (L, sub, 128)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            zx, oy_i, zz = p8._ident_rows(s3)
+            sx[:] = zx; sy[:] = oy_i; sz[:] = zz
+
+        def step(s, carry):
+            xt = tuple(r[pl.ds(s, 1)].reshape(s3) for r in (xx, xy, xz))
+            ft = xf[pl.ds(s, 1)].reshape((1,) + s3[1:])
+            cur = (sx[:], sy[:], sz[:])
+            X3, Y3, Z3 = p8.emit_pt_add(cur, xt, spec)
+            m = ft > 0.5
+            new = tuple(jnp.where(m, t, v) for t, v in zip(xt, (X3, Y3, Z3)))
+            if stacked:
+                oall[pl.ds(s, 1)] = jnp.concatenate(new, axis=0).reshape(
+                    (1, 3 * L) + s3[1:])
+            else:
+                ox[pl.ds(s, 1)] = new[0].reshape((1,) + s3)
+                oy[pl.ds(s, 1)] = new[1].reshape((1,) + s3)
+                oz[pl.ds(s, 1)] = new[2].reshape((1,) + s3)
+            sx[:] = new[0]; sy[:] = new[1]; sz[:] = new[2]
+            return carry
+
+        jax.lax.fori_loop(0, bc, step, 0)
+
+    cspec = pl.BlockSpec((bc, L, sub, 128), lambda i, j: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    c3spec = pl.BlockSpec((bc, 3 * L, sub, 128), lambda i, j: (j, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((bc, 1, sub, 128), lambda i, j: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((S, L, MT, 128), jnp.float32)
+    o3shape = jax.ShapeDtypeStruct((S, 3 * L, MT, 128), jnp.float32)
+    out_shape = [o3shape] if stacked else [oshape] * 3
+    out_specs = [c3spec] if stacked else [cspec] * 3
+
+    def run(xx, xy, xz, xf):
+        def r4(a): return a.reshape(S, a.shape[1], MT, 128)
+        return pl.pallas_call(
+            kern, out_shape=out_shape, grid=(MT // sub, S // bc),
+            in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [cspec] * 3 + [fspec],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((L, sub, 128), jnp.float32)] * 3,
+        )(pack, r4(xx), r4(xy), r4(xz), r4(xf))
+    return jax.jit(run)
+
+one = jnp.asarray(f8.FQ8.one_mont, jnp.float32)
+gx = jnp.broadcast_to(one[None, :, None] * 0 + 3, (S, L, M)).astype(jnp.float32)
+gy = jnp.broadcast_to(one[None, :, None], (S, L, M)).astype(jnp.float32)
+gz = gy
+gf = jnp.zeros((S, 1, M), jnp.float32)
+
+for bc, sub, stacked in [(2, 8, False), (4, 8, False), (8, 8, False),
+                         (4, 8, True), (8, 8, True), (2, 16, True)]:
+    try:
+        timed(f"bc={bc} sub={sub} stacked={stacked}",
+              make(bc, sub, stacked), gx, gy, gz, gf)
+    except Exception as e:
+        print(f"bc={bc} sub={sub} stacked={stacked}: FAIL {str(e)[:80]}")
