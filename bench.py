@@ -101,32 +101,19 @@ def bench_sumcheck_round(log2n: int):
         tables.append(DVec(chunks=chunks, length=n))
     jax.block_until_ready(tables[-1].chunks[-1])
 
-    # warmup
+    # warmup + entry conversion (the production path: sumcheck_begin once,
+    # then one fused dispatch per round on the stacked 8-bit state)
     t0 = time.time()
-    msgs = eng.sumcheck_messages(tables, expr, degree)
-    folded = [eng.fold(t, 987654321) for t in tables]
+    views, msgs = eng.sumcheck_begin(tables, expr, degree)
     t_warm = time.time() - t0
-    log(f"sumcheck round warmup (incl. compile): {t_warm:.2f}s")
+    log(f"sumcheck begin (entry conversion + round-0 msgs, incl. compile): "
+        f"{t_warm:.2f}s")
 
+    eng.sumcheck_round_fused(views, expr, degree, 123456789)  # warmup
     times = []
     for _ in range(3):
         t0 = time.time()
-        msgs = eng.sumcheck_messages(tables, expr, degree)
-        folded = [eng.fold(t, 987654321) for t in tables]
-        jax.block_until_ready(folded[-1].chunks[-1] if hasattr(
-            folded[-1], "chunks") else None)
-        times.append(time.time() - t0)
-    t_round = min(times)
-    log(f"sumcheck round (msgs+fold, 4 tables, deg {degree}) at 2^{log2n}: "
-        f"{t_round:.3f}s")
-
-    # fused round (fold at r + next messages in one pass) -- the production
-    # path inside sumcheck.prove
-    eng.sumcheck_round_fused(tables, expr, degree, 123456789)  # warmup
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        nt, msgs = eng.sumcheck_round_fused(tables, expr, degree, 123456789)
+        nt, msgs = eng.sumcheck_round_fused(views, expr, degree, 123456789)
         times.append(time.time() - t0)
     log(f"FUSED sumcheck round at 2^{log2n}: {min(times):.3f}s")
     return min(times)

@@ -40,6 +40,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from ..fields import device as fd  # noqa: E402
 from ..fields.limbs import ints_to_limbs, limbs_to_ints  # noqa: E402
+from . import sumcheck8 as sc8  # noqa: E402
+from .sumcheck8 import SlotView  # noqa: E402
 
 LOG2_CHUNK = 16
 CHUNK = 1 << LOG2_CHUNK
@@ -382,10 +384,16 @@ class TpuEngine:
     # -- representation -----------------------------------------------------
 
     def is_vec(self, v) -> bool:
-        return isinstance(v, DVec) or self.host.is_vec(v)
+        return (isinstance(v, (DVec, SlotView)) or self.host.is_vec(v))
 
     def _is_dev(self, v) -> bool:
         return isinstance(v, DVec)
+
+    @staticmethod
+    def _impl8() -> bool:
+        import os
+
+        return os.environ.get("QUILL_SUMCHECK_IMPL", "8") == "8"
 
     def vec_from_ints(self, xs):
         n = len(xs)
@@ -407,6 +415,8 @@ class TpuEngine:
         return DVec(chunks=chunks, length=n)
 
     def vec_to_ints(self, v):
+        if isinstance(v, SlotView):
+            return self.host.vec_from_ints(sc8.to_host_ints(v))
         if not self._is_dev(v):
             return self.host.vec_to_ints(v)
         outs = []
@@ -418,7 +428,9 @@ class TpuEngine:
         return self.vec_to_ints(v)
 
     def vec_len(self, v) -> int:
-        return v.length if self._is_dev(v) else self.host.vec_len(v)
+        if isinstance(v, (DVec, SlotView)):
+            return v.length
+        return self.host.vec_len(v)
 
     # -- elementwise --------------------------------------------------------
 
@@ -577,6 +589,8 @@ class TpuEngine:
         return DVec(chunks=out, length=size)
 
     def fold(self, v, r: int):
+        if isinstance(v, SlotView):
+            return self.host.vec_from_ints(sc8.fold8(v, r))
         if not self._is_dev(v):
             return self.host.fold(v, r)
         rc = jnp.asarray(_mont_const_np(r))
@@ -592,10 +606,42 @@ class TpuEngine:
 
     def sumcheck_round_fused(self, tables, expr, degree: int, r_prev: int):
         """Fold every used table at `r_prev`, then compute the next round's
-        message sums -- one fused dispatch per chunk-pair.  Returns
-        (new_tables, msgs).  Falls back to fold+messages when any table is
-        off-device or only one chunk remains (handoff boundary)."""
+        message sums in one fused device dispatch.  Returns
+        (new_tables, msgs).  Default path: the 8-bit Pallas round kernel
+        (`engine/sumcheck8.py`, QUILL_SUMCHECK_IMPL=12 for the 12-bit XLA
+        path).  Falls back to fold+messages when any table is off-device or
+        the folded table drops below the device threshold."""
         used = tuple(sorted(expr.used_inputs()))
+        if self._impl8():
+            entries = [tables[i] for i in used]
+            length = entries[0].length if entries and hasattr(
+                entries[0], "length") else 0
+            if (entries and all(isinstance(t, SlotView) for t in entries)
+                    and length // 2 >= sc8.MIN_TABLE):
+                tabs8 = {i: tables[i] for i in used}
+                new8, msgs = sc8.round_fused8(tabs8, expr, degree, r_prev)
+                new_tables = list(tables)
+                for i in used:
+                    new_tables[i] = new8[i]
+                return new_tables, msgs
+            if (entries and all(isinstance(t, DVec) for t in entries)
+                    and length // 2 >= sc8.MIN_TABLE):
+                # caller skipped sumcheck_begin: build the stacked state now
+                st = sc8.build_stacked([tables[i] for i in used])
+                tabs8 = {i: SlotView(st=st, slot=s)
+                         for s, i in enumerate(used)}
+                new8, msgs = sc8.round_fused8(tabs8, expr, degree, r_prev)
+                new_tables = list(tables)
+                for i in used:
+                    new_tables[i] = new8[i]
+                return new_tables, msgs
+            if entries and all(isinstance(t, (DVec, SlotView))
+                               for t in entries):
+                new_tables = list(tables)
+                for i in used:
+                    new_tables[i] = self.fold(tables[i], r_prev)
+                return new_tables, self.sumcheck_messages(new_tables, expr,
+                                                          degree)
         devs = [tables[i] for i in used if self._is_dev(tables[i])]
         if not devs or len(devs) != len(used) or len(devs[0].chunks) < 2:
             new_tables = list(tables)
@@ -627,8 +673,44 @@ class TpuEngine:
         msgs = [_lazy_to_int(totals[t]) for t in range(degree + 1)]
         return new_tables, msgs
 
+    def sumcheck_begin(self, tables, expr, degree: int):
+        """Round-0 entry: may convert device tables to the 8-bit stacked
+        sumcheck state.  Returns (tables, round-0 messages); subsequent
+        rounds go through `sumcheck_round_fused` with the returned
+        tables."""
+        used = tuple(sorted(expr.used_inputs()))
+        if self._impl8() and used:
+            entries = [tables[i] for i in used]
+            if (all(isinstance(t, DVec) for t in entries)
+                    and entries[0].length >= sc8.MIN_TABLE):
+                views, msgs = sc8.begin8({i: tables[i] for i in used},
+                                         expr, degree)
+                new_tables = list(tables)
+                for i in used:
+                    new_tables[i] = views[i]
+                return new_tables, msgs
+        return tables, self.sumcheck_messages(tables, expr, degree)
+
     def sumcheck_messages(self, tables, expr, degree: int) -> list[int]:
         used = tuple(sorted(expr.used_inputs()))
+        if self._impl8() and used:
+            entries = [tables[i] for i in used]
+            if (all(isinstance(t, SlotView) for t in entries)
+                    and entries[0].length >= sc8.MIN_TABLE):
+                return sc8.messages8({i: tables[i] for i in used}, expr,
+                                     degree)
+            if (all(isinstance(t, DVec) for t in entries)
+                    and entries[0].length >= sc8.MIN_TABLE):
+                st = sc8.build_stacked([tables[i] for i in used])
+                tabs8 = {i: SlotView(st=st, slot=s)
+                         for s, i in enumerate(used)}
+                return sc8.messages8(tabs8, expr, degree)
+        if any(isinstance(tables[i], SlotView) for i in used):
+            # stray small views (handoff boundary): exact host path
+            tables = list(tables)
+            for i in used:
+                if isinstance(tables[i], SlotView):
+                    tables[i] = self.vec_to_ints(tables[i])
         devs = [tables[i] for i in used if self._is_dev(tables[i])]
         if not devs:
             return self.host.sumcheck_messages(tables, expr, degree)

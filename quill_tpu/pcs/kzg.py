@@ -106,16 +106,25 @@ class KZG:
 
     def commit(self, poly) -> curve.Jacobian:
         """MSM of coefficients against the CRS (`kzg.rs:61-73`)."""
+        from ..utils.profiling import phase
+
         n = self.engine.vec_len(poly)
         assert n <= self.max_degree + 1, "Polynomial degree exceeds max degree"
-        return self.engine.msm(self.engine.basis_slice(self._basis, n), poly)
+        with phase("kzg/commit_msm"):
+            return self.engine.msm(self.engine.basis_slice(self._basis, n),
+                                   poly)
 
     def open(self, poly, x: int) -> KZGOpeningProof:
         """Open p at x: y = p(x), commit to q = (p - y)/(X - x)
         (`kzg.rs:75-96`)."""
-        y, q = self.engine.quotient_by_linear(poly, x)
-        q_commitment = self.engine.msm(
-            self.engine.basis_slice(self._basis, self.engine.vec_len(q)), q)
+        from ..utils.profiling import phase
+
+        with phase("kzg/quotient"):
+            y, q = self.engine.quotient_by_linear(poly, x)
+        with phase("kzg/open_msm"):
+            q_commitment = self.engine.msm(
+                self.engine.basis_slice(self._basis, self.engine.vec_len(q)),
+                q)
         return KZGOpeningProof(x=x % R, y=y, proof=q_commitment)
 
     def verify_opening(self, commitment: curve.Jacobian, proof: KZGOpeningProof) -> bool:

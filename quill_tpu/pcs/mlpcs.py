@@ -73,12 +73,18 @@ class MultilinearPCS:
     def open(self, poly, eval_point: list[int], transcript: Transcript) -> MLEvalProof:
         """`MLEvalProof::prove` (`mlpcs.rs:83-124`).  ASSUMES the commitment
         is already in the transcript."""
-        engine = self.engine
-        pr = engine.eq_table(eval_point)  # == compute_pr coefficients
-        evaluation = engine.inner(poly, pr)
+        from ..utils.profiling import phase
 
-        s_poly = compute_s_polynomial(engine, poly, pr)
-        s_commitment = self.kzg.commit(s_poly)
+        engine = self.engine
+        with phase("mlpcs/eq_table"):
+            pr = engine.eq_table(eval_point)  # == compute_pr coefficients
+        with phase("mlpcs/inner"):
+            evaluation = engine.inner(poly, pr)
+
+        with phase("mlpcs/s_poly"):
+            s_poly = compute_s_polynomial(engine, poly, pr)
+        with phase("mlpcs/s_commit"):
+            s_commitment = self.kzg.commit(s_poly)
 
         transcript.append_field_vec(eval_point)
         transcript.append_field(evaluation)
@@ -87,10 +93,11 @@ class MultilinearPCS:
         r = transcript.draw_field_element()
         r_inv = inv(r, R)
 
-        poly_opening = self.kzg.open(poly, r)
-        poly_opening_inv = self.kzg.open(poly, r_inv)
-        s_opening = self.kzg.open(s_poly, r)
-        s_opening_inv = self.kzg.open(s_poly, r_inv)
+        with phase("mlpcs/kzg_open_x4"):
+            poly_opening = self.kzg.open(poly, r)
+            poly_opening_inv = self.kzg.open(poly, r_inv)
+            s_opening = self.kzg.open(s_poly, r)
+            s_opening_inv = self.kzg.open(s_poly, r_inv)
 
         return MLEvalProof(
             evaluation_point=[x % R for x in eval_point],

@@ -54,12 +54,17 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     engine = store.engine
     num_vars = store.num_vars
 
+    from ..utils.profiling import phase
+
     logup_eval_point = transcript.draw_field_element()
 
-    h_left_evals = store.eval_expr_table(h_left)
-    h_right_evals = store.eval_expr_table(h_right)
-    denom_left = engine.batch_inverse(engine.add_scalar(h_left_evals, logup_eval_point))
-    denom_right = engine.batch_inverse(engine.add_scalar(h_right_evals, logup_eval_point))
+    with phase("multiset/log_derivative_tables"):
+        h_left_evals = store.eval_expr_table(h_left)
+        h_right_evals = store.eval_expr_table(h_right)
+        denom_left = engine.batch_inverse(
+            engine.add_scalar(h_left_evals, logup_eval_point))
+        denom_right = engine.batch_inverse(
+            engine.add_scalar(h_right_evals, logup_eval_point))
 
     if mode == LookupMode.SUBSET:
         assert multiplicities is not None, \
@@ -70,8 +75,9 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
         assert multiplicities is None, \
             "Multiplicities polynomial must not be provided in equality mode"
 
-    commitment_left = pcs.commit(denom_left)
-    commitment_right = pcs.commit(denom_right)
+    with phase("multiset/commits"):
+        commitment_left = pcs.commit(denom_left)
+        commitment_right = pcs.commit(denom_right)
     transcript.append_g1(commitment_left)
     transcript.append_g1(commitment_right)
 
@@ -93,7 +99,8 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     )
 
     zerocheck_random_point = [transcript.draw_field_element() for _ in range(num_vars)]
-    eq_evals = engine.eq_table(zerocheck_random_point)
+    with phase("multiset/eq_table"):
+        eq_evals = engine.eq_table(zerocheck_random_point)
     eq_ref = store.allocate_polynomial(eq_evals)
     h_hat = store.new_virtual_from_expr(zerocheck_expr)
     store.mul_in_place(h_hat, eq_ref)
@@ -101,11 +108,14 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     store.add_in_place(h_hat, denom_left_ref)
     store.sub_in_place(h_hat, denom_right_ref)
 
-    sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0, transcript)
+    with phase("multiset/sumcheck"):
+        sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0,
+                                                  transcript)
     evaluation_point = sc_claim.point
 
-    opening_left = pcs.open(denom_left, evaluation_point, transcript)
-    opening_right = pcs.open(denom_right, evaluation_point, transcript)
+    with phase("multiset/opens"):
+        opening_left = pcs.open(denom_left, evaluation_point, transcript)
+        opening_right = pcs.open(denom_right, evaluation_point, transcript)
 
     return (
         MultisetEqualityProof(

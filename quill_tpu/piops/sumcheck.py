@@ -110,9 +110,15 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
     output_r_polys: list[list[int]] = []
     evaluation_point: list[int] = []
 
+    begin = getattr(engine, "sumcheck_begin", None)
     for _round in range(num_vars):
         if _round == 0:
-            msg_evals = engine.sumcheck_messages(tables, expr, degree)
+            if begin is not None:
+                # may convert tables to the engine's round-loop
+                # representation (e.g. the 8-bit stacked device state)
+                tables, msg_evals = begin(tables, expr, degree)
+            else:
+                msg_evals = engine.sumcheck_messages(tables, expr, degree)
         else:
             # fused: fold at the previous challenge + this round's messages
             # in one device pass

@@ -42,12 +42,17 @@ def prove(store: Store, h: VirtualRef, transcript: Transcript
     num_vars = store.num_vars
     random_point = [transcript.draw_field_element() for _ in range(num_vars)]
 
-    eq_evals = store.engine.eq_table(random_point)
+    from ..utils.profiling import phase
+
+    with phase("zerocheck/eq_table"):
+        eq_evals = store.engine.eq_table(random_point)
     eq_ref = store.allocate_polynomial(eq_evals)
     h_hat = store.new_virtual_from_virtual(h)
     store.mul_in_place(h_hat, eq_ref)
 
-    sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0, transcript)
+    with phase("zerocheck/sumcheck"):
+        sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0,
+                                                  transcript)
 
     e = eq_eval(random_point, sc_claim.point)
     claim = EvaluationClaim(
