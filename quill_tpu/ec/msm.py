@@ -101,11 +101,16 @@ def load_basis(affines: list) -> DeviceBasis:
 
 def slice_basis(basis: DeviceBasis, n: int) -> DeviceBasis:
     nch = (n + CHUNK - 1) // CHUNK
-    return DeviceBasis(affines=basis.affines[:n] if basis.affines else [],
-                       x_chunks=basis.x_chunks[:nch],
-                       y_chunks=basis.y_chunks[:nch],
-                       inf_chunks=basis.inf_chunks[:nch],
-                       length=n)
+    out = DeviceBasis(affines=basis.affines[:n] if basis.affines else [],
+                      x_chunks=basis.x_chunks[:nch],
+                      y_chunks=basis.y_chunks[:nch],
+                      inf_chunks=basis.inf_chunks[:nch],
+                      length=n)
+    # slices share the root so per-chunk derived caches (e.g. the 8-bit
+    # coordinate repack in ec/msm8.py) convert each CRS chunk once per
+    # proof run, not once per commit
+    out._root = getattr(basis, "_root", basis)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -74,14 +74,23 @@ def _k_to_f8_pair(x12, y12):
 
 
 def basis8(basis: msm12.DeviceBasis):
-    """Stacked (66, CHUNK) f32 [x; y] chunks, converted once and cached."""
-    cached = getattr(basis, "_b8", None)
-    if cached is not None and len(cached) >= len(basis.x_chunks):
-        return cached
-    xy = [_k_to_f8_pair(x, y)
-          for x, y in zip(basis.x_chunks, basis.y_chunks)]
-    basis._b8 = xy
-    return xy
+    """Stacked (66, CHUNK) f32 [x; y] chunks, converted lazily per chunk.
+
+    The cache lives on the ROOT basis (slices carry `_root`, ec/msm.py
+    slice_basis), so repeated commits/opens against prefixes of one CRS
+    convert each chunk exactly once."""
+    root = getattr(basis, "_root", basis)
+    cache = getattr(root, "_b8_chunks", None)
+    if cache is None:
+        cache = {}
+        root._b8_chunks = cache
+    nch = len(basis.x_chunks)
+    out = []
+    for j in range(nch):
+        if j not in cache:
+            cache[j] = _k_to_f8_pair(basis.x_chunks[j], basis.y_chunks[j])
+        out.append(cache[j])
+    return out
 
 
 # ---------------------------------------------------------------------------

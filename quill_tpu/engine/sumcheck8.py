@@ -80,13 +80,25 @@ R_INV8 = pow(1 << f8.R_BITS, -1, R)
 class Stacked8:
     """All used sumcheck tables in one device array.
 
-    data: (n_slots * 2L, S) f32 normal-form Montgomery limbs; slot s holds
-    rows [2sL, 2sL+L) = even stream, [2sL+L, 2(s+1)L) = odd stream.
-    length: logical table length (= 2S)."""
+    data: (n_slots * 2L, s_buf) f32 normal-form Montgomery limbs; slot s
+    holds rows [2sL, 2sL+L) = even stream, [2sL+L, 2(s+1)L) = odd stream.
+    Only the prefix [0, s_active) of each stream is live -- the physical
+    buffer keeps its entry size across rounds so that EVERY round reuses
+    ONE compiled kernel (shape stability; the live prefix halves per round
+    and is carried as a scalar operand).  Columns beyond s_active are
+    garbage.  length = logical table length (= 2 * s_active)."""
 
     data: jnp.ndarray
     n_slots: int
-    length: int
+    s_active: int
+
+    @property
+    def length(self) -> int:
+        return 2 * self.s_active
+
+    @property
+    def s_buf(self) -> int:
+        return self.data.shape[-1]
 
 
 @dataclass
@@ -192,7 +204,7 @@ def build_stacked(dvec_list: list) -> Stacked8:
                 if len(dv.chunks) > 1 else _k_12to8(dv.chunks[0]))
         parts.append(_entry_call(n)(full[:, :n]))
     data = parts[0] if len(parts) == 1 else _concat_call(len(parts))(*parts)
-    return Stacked8(data=data, n_slots=len(dvec_list), length=n)
+    return Stacked8(data=data, n_slots=len(dvec_list), s_active=n // 2)
 
 
 @jax.jit
@@ -202,7 +214,8 @@ def _k_8from_mont(x):
 
 def _slot_streams(v: SlotView) -> tuple[jnp.ndarray, jnp.ndarray]:
     a = 2 * v.slot * L
-    return v.st.data[a:a + L], v.st.data[a + L:a + 2 * L]
+    s = v.st.s_active
+    return v.st.data[a:a + L, :s], v.st.data[a + L:a + 2 * L, :s]
 
 
 def to_host_ints(v: SlotView) -> list[int]:
@@ -266,14 +279,28 @@ def _emit8(expr, vals: dict, kcol, counter: list, spec):
     raise TypeError(f"unknown expr node {expr!r}")
 
 
-def _round8_kernel(expr, slot_of, degree, fold, c_ref, k_ref, pp_ref,
-                   x_ref, *outs):
+def _round8_kernel(expr, slot_of, degree, fold, a_ref, c_ref, k_ref,
+                   pp_ref, x_ref, *outs):
     """One grid step over the stacked state: [fold every table at r,] then
     accumulate the message partial sums at t = 0..degree.
 
-    x_ref: (n_slots*2L, B) block of the stacked state (B = BLOCK, halved
-    sizes in later rounds).  outs: [stacked' (n_slots*2L, B/2)] if fold,
+    The grid spans the PHYSICAL buffer; a_ref (SMEM scalar) holds the
+    number of LIVE steps this round.  Steps past it skip all compute
+    (their block flushes write stale VMEM into the garbage suffix of the
+    outputs, which nothing reads) -- this keeps every round of a sumcheck
+    on one compiled executable instead of one per size.
+
+    x_ref: (n_slots*2L, BLOCK) block of the stacked state.  outs:
+    [stacked' (n_slots*2L, BLOCK/2) into a full-width buffer] if fold,
     then the (1, 33, T) partials block."""
+    @pl.when(pl.program_id(0) < a_ref[0])
+    def _():
+        _round8_body(expr, slot_of, degree, fold, c_ref, k_ref, pp_ref,
+                     x_ref, *outs)
+
+
+def _round8_body(expr, slot_of, degree, fold, c_ref, k_ref, pp_ref,
+                 x_ref, *outs):
     spec = p8.unpack_spec(R, c_ref[:])
     T = degree + 1
 
@@ -329,16 +356,20 @@ _ROUND8_CALLS: dict = {}
 
 
 def _get_round8_call(expr, slot_items: tuple, degree: int, nc: int,
-                     fold: bool, n_slots: int, s_len: int):
+                     fold: bool, n_slots: int, s_buf: int):
+    """Compiled once per (structure, slots, degree, fold, BUFFER size) --
+    the live size travels as a scalar operand, so all rounds of a sumcheck
+    share one executable."""
     structure, _ = expr.key()
-    key = (structure, slot_items, degree, nc, fold, n_slots, s_len)
+    key = (structure, slot_items, degree, nc, fold, n_slots, s_buf)
     if key in _ROUND8_CALLS:
         return _ROUND8_CALLS[key]
 
     slot_of = dict(slot_items)
-    nsteps = s_len // BLOCK
+    maxsteps = s_buf // BLOCK
     T = degree + 1
     rows = 2 * n_slots * L
+    aspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     xspec = pl.BlockSpec((rows, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
@@ -348,24 +379,26 @@ def _get_round8_call(expr, slot_items: tuple, degree: int, nc: int,
     kw = 128 * (1 + nc)
     kspec = pl.BlockSpec((L, kw), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    fshape = jax.ShapeDtypeStruct((rows, s_len // 2), jnp.float32)
+    # folded output keeps the FULL buffer width (shape stability across
+    # rounds); only the prefix [0, active*BLOCK/2) is written
+    fshape = jax.ShapeDtypeStruct((rows, s_buf), jnp.float32)
     fspec = pl.BlockSpec((rows, BLOCK // 2), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    pshape = jax.ShapeDtypeStruct((nsteps, L, T), jnp.float32)
+    pshape = jax.ShapeDtypeStruct((maxsteps, L, T), jnp.float32)
     out_shape = [fshape, pshape] if fold else pshape
     out_specs = [fspec, pspec] if fold else pspec
 
     pack = p8.consts_pack(R)
 
-    def run(kbuf, stacked):
+    def run(active, kbuf, stacked):
         return pl.pallas_call(
             functools.partial(_round8_kernel, expr, slot_of, degree, fold),
             out_shape=out_shape,
-            grid=(nsteps,),
-            in_specs=[cspec, kspec, _pp_spec(), xspec],
+            grid=(maxsteps,),
+            in_specs=[aspec, cspec, kspec, _pp_spec(), xspec],
             out_specs=out_specs,
             interpret=p8._interpret(),
-        )(pack, kbuf, _pp_operand(), stacked)
+        )(active, pack, kbuf, _pp_operand(), stacked)
 
     run = jax.jit(run)
     _ROUND8_CALLS[key] = run
@@ -396,9 +429,10 @@ def messages8(tables: dict[int, SlotView], expr, degree: int) -> list[int]:
     _, const_vals = expr.key()
     kbuf = _kbuf(const_vals, None)
     call = _get_round8_call(expr, slot_items, degree, len(const_vals),
-                            False, st.n_slots, st.length // 2)
-    partials = call(kbuf, st.data)
-    return _partials_to_msgs(np.asarray(partials), degree)
+                            False, st.n_slots, st.s_buf)
+    steps = st.s_active // BLOCK
+    partials = call(jnp.asarray([steps], jnp.int32), kbuf, st.data)
+    return _partials_to_msgs(np.asarray(partials)[:steps], degree)
 
 
 def begin8(dvec_tables: dict[int, "DVec"], expr,
@@ -419,13 +453,14 @@ def round_fused8(tables: dict[int, SlotView], expr, degree: int,
     _, const_vals = expr.key()
     kbuf = _kbuf(const_vals, r_prev)
     call = _get_round8_call(expr, slot_items, degree, len(const_vals),
-                            True, st.n_slots, st.length // 2)
-    folded, partials = call(kbuf, st.data)
+                            True, st.n_slots, st.s_buf)
+    steps = st.s_active // BLOCK
+    folded, partials = call(jnp.asarray([steps], jnp.int32), kbuf, st.data)
     new_st = Stacked8(data=folded, n_slots=st.n_slots,
-                      length=st.length // 2)
+                      s_active=st.s_active // 2)
     new_tables = {i: SlotView(st=new_st, slot=v.slot)
                   for i, v in tables.items()}
-    msgs = _partials_to_msgs(np.asarray(partials), degree)
+    msgs = _partials_to_msgs(np.asarray(partials)[:steps], degree)
     return new_tables, msgs
 
 

@@ -39,7 +39,7 @@ def make_state(tabs: dict) -> dict:
                                     axis=0))
     data = jnp.asarray(np.concatenate(parts, axis=0))
     st = sc8.Stacked8(data=data, n_slots=len(order),
-                      length=len(tabs[order[0]]))
+                      s_active=len(tabs[order[0]]) // 2)
     return {i: sc8.SlotView(st=st, slot=s) for s, i in enumerate(order)}
 
 
