@@ -26,6 +26,8 @@ Engine ops not yet device-accelerated fall back to the host engine
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
+
 import numpy as np
 
 from ..fields.bn254 import R
@@ -746,7 +748,26 @@ class TpuEngine:
         if not self._is_dev(v):
             return self.host.reverse(v)
         out = [_k_reverse(c) for c in reversed(v.chunks)]
+        # physical reversal parks the (zero) tail padding at the front;
+        # shift it out so out[j] = v[length-1-j]
+        k = len(out) * CHUNK - v.length
+        if k:
+            out = self._shift_left_chunks(out, k)
         return DVec(chunks=out, length=v.length)
+
+    def _shift_left_chunks(self, chunks, k: int):
+        """Drop the first k columns of a physical chunk list (zeros shift
+        into the freed tail).  k is static; one concat kernel per chunk."""
+        drop, k = divmod(k, CHUNK)
+        chunks = list(chunks[drop:])
+        if k == 0:
+            return chunks
+        zero = jnp.zeros((fd.L, CHUNK), dtype=jnp.int32)
+        out = []
+        for j, c in enumerate(chunks):
+            nxt = chunks[j + 1] if j + 1 < len(chunks) else zero
+            out.append(_k_shiftk(c, nxt, k))
+        return out
 
     def slice(self, v, start: int, stop: int):
         if not self._is_dev(v):
@@ -817,6 +838,34 @@ class TpuEngine:
         q = DVec(chunks=q_chunks, length=coeffs.length)
         return y, q
 
+    def s_polynomial(self, p1, p2):
+        """IPA S polynomial (top half of f*rev(g) + rev(f)*g,
+        `/root/reference/pcs/src/ipa.rs:122-157`) with ONE NTT product:
+        rev_{2n-1}(f * rev_n(g)) = rev_n(f) * g, so with h = f * rev(g),
+        S[k] = h[n+k] + h[n-2-k] for k in [0, n-1)."""
+        from ..pcs.ipa import s_polynomial_generic
+
+        la, lb = self.vec_len(p1), self.vec_len(p2)
+        n = max(la, lb)
+        if (not (self._is_dev(p1) or self._is_dev(p2)) or n < CHUNK
+                or n % CHUNK):
+            return s_polynomial_generic(self, p1, p2)
+        p1 = self.pad(p1, n)
+        p2 = self.pad(p2, n)
+        h = self.poly_mul(p1, self.reverse(p2))  # length 2n-1, phys 2n
+        # top half h[n+k]: chunk-aligned; the last physical slot is the
+        # (zero) coefficient of x^{2n-1}, so the DVec zero-tail invariant
+        # holds with logical length n-1
+        a = DVec(chunks=h.chunks[n // CHUNK:(2 * n) // CHUNK], length=n - 1)
+        b_full = self.reverse(self.slice(h, 0, n))  # b_full[j] = h[n-1-j]
+        b = self._drop_first(b_full)             # b[k] = h[n-2-k]
+        return self.add(a, b)
+
+    def _drop_first(self, v: "DVec") -> "DVec":
+        """v[1:] as a DVec of length len-1 (zero in the freed tail slot)."""
+        return DVec(chunks=self._shift_left_chunks(v.chunks, 1),
+                    length=v.length - 1)
+
     def poly_mul(self, a, b):
         if self._is_dev(a) and self._is_dev(b):
             from ..poly import ntt
@@ -877,6 +926,11 @@ class TpuEngine:
 @jax.jit
 def _k_reverse(c):
     return c[:, ::-1]
+
+
+@partial(jax.jit, static_argnums=2)
+def _k_shiftk(c, nxt, k):
+    return jnp.concatenate([c[:, k:], nxt[:, :k]], axis=1)
 
 
 @jax.jit

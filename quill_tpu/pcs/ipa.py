@@ -38,7 +38,18 @@ class InnerProductProof:
 
 def compute_s_polynomial(engine, poly1, poly2):
     """S coefficients: the top half of (f * rev(g) + rev(f) * g)
-    (`ipa.rs:122-157`).  Polynomials are zero-padded to a common length."""
+    (`ipa.rs:122-157`).  Polynomials are zero-padded to a common length.
+
+    Engines may provide `s_polynomial(p1, p2)` computing the same values
+    with ONE polynomial product via rev(f * rev(g)) = rev(f) * g (the
+    device engine does; halves the NTT work)."""
+    s_poly = getattr(engine, "s_polynomial", None)
+    if s_poly is not None:
+        return s_poly(poly1, poly2)
+    return s_polynomial_generic(engine, poly1, poly2)
+
+
+def s_polynomial_generic(engine, poly1, poly2):
     la, lb = engine.vec_len(poly1), engine.vec_len(poly2)
     max_len = max(la, lb)
     p1 = engine.pad(poly1, max_len)

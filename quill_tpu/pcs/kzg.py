@@ -19,6 +19,24 @@ from ..ec.pairing import pairing_check
 from ..fields.bn254 import R
 
 
+def _crs_cache_path(tau: int, count: int):
+    """On-disk cache for device-generated CRS chunks (deterministic in
+    (tau, count)); QUILL_CRS_CACHE=0 disables."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    if os.environ.get("QUILL_CRS_CACHE", "1") == "0":
+        return None
+    base = os.environ.get(
+        "QUILL_CRS_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "quill_tpu_crs"))
+    tag = hashlib.sha256(
+        b"crs" + tau.to_bytes(32, "little") + count.to_bytes(8, "little")
+    ).hexdigest()[:24]
+    return Path(base) / f"crs_{tag}_{count}.npz"
+
+
 @dataclass
 class KZGOpeningProof:
     """`KZGOpeningProof { x, y, proof }` (`kzg.rs:25-32`)."""
@@ -86,7 +104,31 @@ class KZG:
                 hashlib.sha256(b"quill-tpu-trusted-setup"
                                + seed.to_bytes(8, "little")).digest(),
                 "little") % R
-        xs, ys = device_tau_powers(tau, max_degree + 1)
+        xs, ys = None, None
+        cache_path = _crs_cache_path(tau, max_degree + 1)
+        if cache_path is not None and cache_path.exists():
+            import numpy as np
+
+            data = np.load(cache_path)
+            nch = int(data["nch"])
+            xs = [jnp.asarray(data[f"x{j}"]) for j in range(nch)]
+            ys = [jnp.asarray(data[f"y{j}"]) for j in range(nch)]
+        if xs is None:
+            xs, ys = device_tau_powers(tau, max_degree + 1)
+            if cache_path is not None:
+                import numpy as np
+
+                arrs = {"nch": np.int64(len(xs))}
+                for j, (x, y) in enumerate(zip(xs, ys)):
+                    arrs[f"x{j}"] = np.asarray(x)
+                    arrs[f"y{j}"] = np.asarray(y)
+                try:
+                    cache_path.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = cache_path.with_suffix(".tmp.npz")
+                    np.savez(tmp, **arrs)
+                    tmp.replace(cache_path)
+                except OSError:
+                    pass
         inf = [jnp.zeros((msm_mod.CHUNK,), bool) for _ in xs]
         basis = msm_mod.DeviceBasis(affines=None, x_chunks=xs, y_chunks=ys,
                                     inf_chunks=inf, length=max_degree + 1)

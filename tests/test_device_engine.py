@@ -133,6 +133,25 @@ class TestUnivariate:
         got = [int(v) for v in eng.vec_to_ints(dq)][:len(a) - 1]
         assert got == [int(v) for v in hq]
 
+    def test_s_polynomial_one_ntt(self, engines, data):
+        """Device s_polynomial (single product, `ipa.rs:122-157` values)
+        vs the generic two-product host path; includes a mismatched-length
+        (zero-padded) pair."""
+        from quill_tpu.pcs import ipa
+
+        eng, host = engines
+        a, b = data
+        half = len(a) // 2  # == CHUNK: the single-chunk case (n-1 < CHUNK)
+        for aa, bb in ((a, b), (a, b[:half + 3]), (a[:half], b[:half])):
+            got = ipa.compute_s_polynomial(
+                eng, eng.vec_from_ints(aa), eng.vec_from_ints(bb))
+            want = ipa.s_polynomial_generic(
+                host, host.vec_from_ints(aa), host.vec_from_ints(bb))
+            n = host.vec_len(want)
+            assert eng.vec_len(got) == n
+            got_i = [int(x) for x in eng.vec_to_ints(got)][:n]
+            assert got_i == [int(x) for x in want]
+
     def test_ntt_poly_mul(self, engines):
         from quill_tpu.engine.device import CHUNK
 
