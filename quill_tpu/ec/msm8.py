@@ -43,6 +43,7 @@ from ..fields import device as fd  # noqa: E402
 from ..fields import device8 as f8  # noqa: E402
 from ..fields import pallas8 as p8  # noqa: E402
 from ..fields.bn254 import P  # noqa: E402
+from ..utils.aotcache import aot_wrap  # noqa: E402
 from . import msm as msm12  # noqa: E402
 
 L = f8.L
@@ -65,7 +66,6 @@ WPAD = 128                     # window-lane padding for the tiny scans
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
 def _k_to_f8_pair(x12, y12):
     """Two (22, N) int32 lazy Montgomery Fq coords -> (66, N) f32 stacked."""
     xc = f8.from12(fd.lazy_to_canonical(x12, fd.FQ))
@@ -98,7 +98,6 @@ def basis8(basis: msm12.DeviceBasis):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
 def _k_sort_gather8(scalars, xy, inf):
     """digits -> sort -> gather straight into scan layout.
 
@@ -162,7 +161,6 @@ def _shift_ident(bys: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([ident, bys[:-1]], axis=0)
 
 
-@jax.jit
 def _k_chunk_scan(xs, gf):
     """Within-block segmented scans + per-block offsets + flag prefixes."""
     ys = p8.seg_scan(xs, gf)
@@ -176,7 +174,6 @@ def _k_chunk_scan(xs, gf):
     return ys, wf, offs
 
 
-@jax.jit
 def _k_collect8(sorted_d, ys, wf, offs, acc):
     """Fused bucket collection: gather each bucket's segment-final position
     from the within-block scans, combine with its block offset, and
@@ -255,7 +252,6 @@ def _full_scan(coords: jnp.ndarray):
     return full, win_tot
 
 
-@jax.jit
 def _k_triangle(acc: jnp.ndarray):
     """Per-window triangle sum sum_{k>=1} suffix_k from the
     (3L, W*NUM_BUCKETS) bucket array."""
@@ -326,3 +322,12 @@ def _one_int_limbs():
 
 load_basis = msm12.load_basis
 slice_basis = msm12.slice_basis
+
+
+# AOT-cached entry points (trace+lowering skipped on warm processes; the
+# kernel bodies above stay plain functions so tests can call them directly)
+_k_to_f8_pair = aot_wrap("msm8.to_f8_pair", _k_to_f8_pair)
+_k_sort_gather8 = aot_wrap("msm8.sort_gather8", _k_sort_gather8)
+_k_chunk_scan = aot_wrap("msm8.chunk_scan", _k_chunk_scan)
+_k_collect8 = aot_wrap("msm8.collect8", _k_collect8)
+_k_triangle = aot_wrap("msm8.triangle", _k_triangle)

@@ -184,7 +184,10 @@ def _entry_call(n: int):
                                    memory_space=pltpu.VMEM),
             interpret=p8._interpret(),
         )(_pp_operand(), x)
-    return jax.jit(run)
+
+    from ..utils.aotcache import aot_wrap
+
+    return aot_wrap(f"sc8.entry.{n}", run)
 
 
 @functools.lru_cache(maxsize=None)
@@ -400,7 +403,9 @@ def _get_round8_call(expr, slot_items: tuple, degree: int, nc: int,
             interpret=p8._interpret(),
         )(active, pack, kbuf, _pp_operand(), stacked)
 
-    run = jax.jit(run)
+    from ..utils.aotcache import aot_wrap
+
+    run = aot_wrap(f"sc8.round.{key}", run)
     _ROUND8_CALLS[key] = run
     return run
 

@@ -224,10 +224,20 @@ def _mont_mul_body(a: jnp.ndarray, b: jnp.ndarray, spec) -> jnp.ndarray:
     t_cols = _conv_full(a, jnp.broadcast_to(b, a.shape))
     t_cols.append(jnp.zeros_like(t_cols[0]))         # column 65
     t = jnp.stack(t_cols, axis=0)                    # (66, ...)
+    return redc_columns(t, spec, carries=4)
 
-    # t_low = T mod R normalized towards 8-bit limbs: 4 rounds bring
-    # |col| < 2^23.8 -> < 2^16 -> < 452 -> [-1, 384) -> [-1, 256]
-    t_low = _carry_n(t[:L], 4, mod_r=True)
+
+def redc_columns(t: jnp.ndarray, spec, carries: int = 4) -> jnp.ndarray:
+    """Montgomery-reduce stacked product columns: t (66, ...) integer f32,
+    |col| < 2^24, |value| < R*p -> lazy limbs (33, ...) of value*R^{-1} mod p
+    (|value| < 1.3p).  `carries` normalizes t mod R to [-1, 256] before the
+    bf16 REDC matmuls: 4 rounds from 2^23.8, 2 suffice from < 2^10.
+
+    Montgomery linearity: REDC(sum_j a_j*b_j) = sum_j mont_mul(a_j, b_j), so
+    dot-product kernels (NTT matmuls) may accumulate raw product columns and
+    reduce ONCE per output element through this function."""
+    # t_low = T mod R normalized towards 8-bit limbs
+    t_low = _carry_n(t[:L], carries, mod_r=True)
 
     # m = (t_low * p') mod R, then normalized to [-1, 256]:
     # columns < 2^22 -> 4 carry rounds (mod R).  Two strategies: bf16 MXU

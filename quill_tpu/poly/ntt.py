@@ -187,19 +187,37 @@ def _powtable_chunk_fr(x: int) -> jnp.ndarray:
     return _powtable_chunk(x, LOG2_CHUNK)
 
 
+def _impl8() -> bool:
+    import os
+
+    return os.environ.get("QUILL_NTT_IMPL", "8") == "8"
+
+
 def ntt_chunks(chunks: list, inverse: bool = False) -> list:
     """Transform a chunked vector (list of (22, CHUNK) Montgomery arrays).
-    Forward: col-DIF over chunks -> step-2 twiddles -> in-chunk DIF NTT.
+    Forward: col-DIF over chunks -> step-2 twiddles -> in-chunk NTT.
     Inverse: exact reverse with inverse twiddles + 1/N scaling.
     Output (forward) is in a fixed internal permutation; inverse consumes
     that same permutation and returns natural coefficient order.
+
+    In-chunk transform: the MXU matmul kernel (`poly/ntt8.py`, default) or
+    the 12-bit VPU stage kernel (QUILL_NTT_IMPL=12).  The two differ in
+    internal permutation and in where the 1/N scaling lives (ntt8's inverse
+    folds the in-chunk 1/2^16), both exact.
     """
     n1 = len(chunks)
     assert n1 & (n1 - 1) == 0, "chunk count must be a power of two"
     log2_n1 = n1.bit_length() - 1
     log2_n = log2_n1 + LOG2_CHUNK
     w_n = _root_of_unity(log2_n)
-    ntt_k, intt_k = _get_chunk_kernels(LOG2_CHUNK)
+    use8 = _impl8()
+    if use8:
+        from . import ntt8 as n8
+
+        ntt_k = lambda c, _tw: n8.chunk_ntt8(c, inverse=False)  # noqa: E731
+        intt_k = lambda c, _tw: n8.chunk_ntt8(c, inverse=True)  # noqa: E731
+    else:
+        ntt_k, intt_k = _get_chunk_kernels(LOG2_CHUNK)
 
     if not inverse:
         x = list(chunks)
@@ -224,11 +242,13 @@ def ntt_chunks(chunks: list, inverse: bool = False) -> list:
             tw_vec = _powtable_chunk_fr(pow(w_n, k1, R))
             x[r] = _k_mul(x[r], tw_vec)
         # 3) in-chunk NTT
-        tws = jnp.asarray(_stage_twiddles(LOG2_CHUNK, False))
+        tws = (None if use8
+               else jnp.asarray(_stage_twiddles(LOG2_CHUNK, False)))
         return [ntt_k(c, tws) for c in x]
 
     # inverse: undo 3), then 2), then 1); scale by 1/N
-    tws_inv = jnp.asarray(_stage_twiddles(LOG2_CHUNK, True))
+    tws_inv = (None if use8
+               else jnp.asarray(_stage_twiddles(LOG2_CHUNK, True)))
     x = [intt_k(c, tws_inv) for c in chunks]
     if log2_n1 > 0:
         for r in range(n1):
@@ -248,8 +268,13 @@ def ntt_chunks(chunks: list, inverse: bool = False) -> list:
                     u, t = x[base + j], x[base + j + bh]
                     x[base + j], x[base + j + bh] = _k_butterfly_dit_inv(
                         u, t, wj)
-    # total un-applied scaling: 2^log2_n (one factor 2 per butterfly stage)
-    n_inv = pow(1 << log2_n, R - 2, R)
+    # un-applied scaling: ntt8's inverse folds the in-chunk 1/2^16, so only
+    # the chunk-level butterflies' factor 2 per stage remains; the 12-bit
+    # kernel leaves the full 1/2^log2_n
+    remaining = (1 << log2_n1) if use8 else (1 << log2_n)
+    if remaining == 1:
+        return x
+    n_inv = pow(remaining, R - 2, R)
     c = jnp.asarray(_mont(n_inv))
     return [_k_mul_scalar(ch, c) for ch in x]
 

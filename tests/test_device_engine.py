@@ -157,13 +157,19 @@ class TestUnivariate:
 
         eng, host = engines
         rng = random.Random(4)
-        a = [rng.randrange(R) for _ in range(CHUNK)]
-        b = [rng.randrange(R) for _ in range(CHUNK)]
-        da, db = eng.vec_from_ints(a), eng.vec_from_ints(b)
-        got = eng.poly_mul(da, db)
-        want = host.poly_mul(host.vec_from_ints(a), host.vec_from_ints(b))
-        got_i = [int(x) for x in eng.vec_to_ints(got)][:2 * CHUNK - 1]
-        assert got_i == [int(x) for x in want]
+        # 1-chunk inputs (2-chunk transform) and 2-chunk inputs (4-chunk
+        # transform: exercises the chunk-level butterflies + step-2
+        # twiddles around the in-chunk MXU kernel)
+        for nch in (1, 2):
+            n = nch * CHUNK
+            a = [rng.randrange(R) for _ in range(n)]
+            b = [rng.randrange(R) for _ in range(n)]
+            da, db = eng.vec_from_ints(a), eng.vec_from_ints(b)
+            got = eng.poly_mul(da, db)
+            want = host.poly_mul(host.vec_from_ints(a),
+                                 host.vec_from_ints(b))
+            got_i = [int(x) for x in eng.vec_to_ints(got)][:2 * n - 1]
+            assert got_i == [int(x) for x in want]
 
 
 class TestCurveAndMsm:
