@@ -46,6 +46,14 @@ def bench_msm(log2n: int):
     from quill_tpu.ec.fixed_base import device_tau_powers
     from quill_tpu.fields.bn254 import R
 
+    impl = os.environ.get("QUILL_MSM_IMPL", "3")
+    if impl == "3":
+        from quill_tpu.ec import msm3 as msm_run
+    elif impl == "8":
+        from quill_tpu.ec import msm8 as msm_run
+    else:
+        msm_run = msm_mod
+
     n = 1 << log2n
     rng = np.random.default_rng(0)
 
@@ -59,20 +67,21 @@ def bench_msm(log2n: int):
     inf = [jnp.zeros((msm_mod.CHUNK,), bool) for _ in xs]
     basis = msm_mod.DeviceBasis(affines=None, x_chunks=xs, y_chunks=ys,
                                 inf_chunks=inf, length=n)
+    basis.tau = tau  # lets msm3 build shifted bases by fixed-base gen
 
     sc_chunks = [jnp.asarray(rand_scalar_limbs(rng, msm_mod.CHUNK))
                  for _ in range(n // msm_mod.CHUNK)]
 
     # warmup (compiles)
     t0 = time.time()
-    res = msm_mod.msm_device(basis, sc_chunks, n)
+    res = msm_run.msm_device(basis, sc_chunks, n)
     t_warm = time.time() - t0
     log(f"MSM warmup (incl. compile): {t_warm:.2f}s")
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        res = msm_mod.msm_device(basis, sc_chunks, n)
+        res = msm_run.msm_device(basis, sc_chunks, n)
         times.append(time.time() - t0)
     t_msm = min(times)
     log(f"MSM 2^{log2n}: {t_msm:.3f}s  ({n / t_msm / 1e6:.2f} M points/s)")

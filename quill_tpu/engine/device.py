@@ -146,36 +146,25 @@ def _k_fold_single(c0, r):
 
 
 def _two_level_prefix_scan(x, combine, identity_col):
-    """Inclusive prefix scan of (22, C) along the element axis via a
-    blocked two-level lax.scan: sequential within 256-element blocks
-    (vectorized over blocks), then a block-offset scan, then a broadcast
-    combine.  Keeps the traced graph at ~3 combine bodies instead of
-    O(log C) full-width applications."""
+    """Inclusive prefix scan of (22, C) along the element axis as a
+    log-depth Hillis-Steele ladder: log2(C) FULL-WIDTH combine steps.
+
+    Replaces the blocked two-level lax.scan (256 sequential narrow steps,
+    measured latency-bound at ~0.5 s per 2^16 chunk -- ~20 s of the 2^16-row
+    prove was these scans).  Full-width steps run at the vector-kernel rate;
+    the combine bodies are trace-once jitted (fd.mont_mul/add), so the
+    unrolled ladder stays ~log2(C) call eqns, not inlined bodies."""
     C = x.shape[1]
-    bs = 256
-    nb = C // bs
-    blocks = x.reshape(fd.L, nb, bs)
-    xs = jnp.moveaxis(blocks, 2, 0)              # (bs, 22, nb)
-
-    def body(carry, x_t):
-        cur = combine(carry, x_t)
-        return cur, cur
-
-    init = jnp.broadcast_to(identity_col, (fd.L, nb)).astype(jnp.int32)
-    last, ys = jax.lax.scan(body, init, xs)      # ys: (bs, 22, nb)
-    within = jnp.moveaxis(ys, 0, 2)              # (22, nb, bs)
-
-    # exclusive block offsets from block totals (`last` = inclusive totals)
-    tot_xs = jnp.moveaxis(last[:, :, None], 1, 0)  # (nb, 22, 1)
-
-    def body2(carry, t):
-        return combine(carry, t), carry          # emit carry BEFORE combine
-
-    init2 = jnp.broadcast_to(identity_col, (fd.L, 1)).astype(jnp.int32)
-    _, offs = jax.lax.scan(body2, init2, tot_xs)  # (nb, 22, 1) exclusive
-    offs = jnp.moveaxis(offs, 0, 1)               # (22, nb, 1)
-    return combine(within, jnp.broadcast_to(offs, within.shape)).reshape(
-        fd.L, C)
+    idx = jax.lax.iota(jnp.int32, C)
+    ident = jnp.broadcast_to(identity_col, (fd.L, C)).astype(x.dtype)
+    v = x
+    sh = 1
+    while sh < C:
+        shifted = jnp.concatenate([ident[:, :sh], v[:, :-sh]], axis=1)
+        comb = combine(v, shifted)
+        v = jnp.where((idx >= sh)[None, :], comb, v)
+        sh *= 2
+    return v
 
 
 @jax.jit
@@ -896,7 +885,10 @@ class TpuEngine:
         import os
 
         from ..ec import curve
-        if os.environ.get("QUILL_MSM_IMPL", "8") == "8":
+        impl = os.environ.get("QUILL_MSM_IMPL", "3")
+        if impl == "3":
+            from ..ec import msm3 as msm_mod
+        elif impl == "8":
             from ..ec import msm8 as msm_mod
         else:
             from ..ec import msm as msm_mod
@@ -921,6 +913,56 @@ class TpuEngine:
                                   [int(s) for s in scalars])
         scalar_chunks = [_k_from_mont(c) for c in scalars.chunks]
         return msm_mod.msm_device(basis, scalar_chunks, scalars.length)
+
+    def msm_many(self, jobs: list) -> list:
+        """jobs: list of (basis, scalars) sharing one CRS root.  Batches
+        them into fused multi-MSM device dispatches (ec/msm3.py shared
+        sort + prefix tree), QUILL_MSM_BATCH (default 4) MSMs at a time;
+        falls back to sequential `msm` when batching does not apply."""
+        import os
+
+        impl = os.environ.get("QUILL_MSM_IMPL", "3")
+
+        def fallback():
+            return [self.msm(b, s) for b, s in jobs]
+
+        if impl != "3" or len(jobs) <= 1:
+            return fallback()
+        from ..ec import msm3 as msm_mod
+
+        batch_chunks = []
+        bases = []
+        for basis, scalars in jobs:
+            if not self._is_dev(scalars):
+                if not basis.x_chunks:
+                    return fallback()
+                ints = [int(s) for s in scalars]
+                ints += [0] * (-len(ints) % CHUNK)
+                chunks = [jnp.asarray(ints_to_limbs(ints[o:o + CHUNK]))
+                          for o in range(0, len(ints), CHUNK)]
+            else:
+                chunks = [_k_from_mont(c) for c in scalars.chunks]
+            batch_chunks.append(chunks)
+            bases.append(basis)
+        if len({id(getattr(b, "_root", b)) for b in bases}) != 1:
+            return fallback()
+        widest = max(bases, key=lambda b: len(b.x_chunks))
+        if max(len(c) for c in batch_chunks) > len(widest.x_chunks):
+            return fallback()
+        group = int(os.environ.get("QUILL_MSM_BATCH", "4"))
+        out = []
+        for i in range(0, len(batch_chunks), group):
+            part = batch_chunks[i:i + group]
+            if len(part) == 1:
+                out.extend(msm_mod.msm_device_batch(widest, part))
+                continue
+            # pad to the full group width with empty (all-zero) MSMs so
+            # only ONE batched kernel tower (B=group) is ever compiled;
+            # zero digits land in bucket 0, which the telescoped sum skips
+            npad = group - len(part)
+            res = msm_mod.msm_device_batch(widest, part + [[]] * npad)
+            out.extend(res[:len(part)])
+        return out
 
 
 @jax.jit

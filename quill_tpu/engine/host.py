@@ -207,6 +207,9 @@ class HostEngine:
     def msm(self, basis, scalars) -> curve.Jacobian:
         return curve.msm_host(basis, [int(s) for s in scalars])
 
+    def msm_many(self, jobs: list) -> list:
+        return [self.msm(b, s) for b, s in jobs]
+
 
 def _ntt_host(vals: list[int], invert: bool) -> list[int]:
     """Iterative radix-2 NTT over Fr on Python ints (exact)."""

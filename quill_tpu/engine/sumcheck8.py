@@ -187,7 +187,7 @@ def _entry_call(n: int):
 
     from ..utils.aotcache import aot_wrap
 
-    return aot_wrap(f"sc8.entry.{n}", run)
+    return aot_wrap(f"sc8.entry.{n}", run, deps=('engine', 'fields', 'utils'))
 
 
 @functools.lru_cache(maxsize=None)
@@ -405,7 +405,7 @@ def _get_round8_call(expr, slot_items: tuple, degree: int, nc: int,
 
     from ..utils.aotcache import aot_wrap
 
-    run = aot_wrap(f"sc8.round.{key}", run)
+    run = aot_wrap(f"sc8.round.{key}", run, deps=('engine', 'fields', 'utils'))
     _ROUND8_CALLS[key] = run
     return run
 

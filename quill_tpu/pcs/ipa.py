@@ -75,12 +75,10 @@ def prove(engine, poly1, poly2, kzg: KZG, transcript: Transcript) -> InnerProduc
     r = transcript.draw_field_element()
     r_inv = inv(r, R)
 
-    f_opening = kzg.open(poly1, r)
-    f_opening_inv = kzg.open(poly1, r_inv)
-    g_opening = kzg.open(poly2, r)
-    g_opening_inv = kzg.open(poly2, r_inv)
-    s_opening = kzg.open(s_poly, r)
-    s_opening_inv = kzg.open(s_poly, r_inv)
+    (f_opening, f_opening_inv, g_opening, g_opening_inv, s_opening,
+     s_opening_inv) = kzg.open_many(
+        [(poly1, r), (poly1, r_inv), (poly2, r), (poly2, r_inv),
+         (s_poly, r), (s_poly, r_inv)])
 
     assert (f_opening.y * g_opening_inv.y + f_opening_inv.y * g_opening.y) % R == (
         r * s_opening.y + r_inv * s_opening_inv.y + 2 * inner_product) % R, \

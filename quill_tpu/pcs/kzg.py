@@ -132,6 +132,9 @@ class KZG:
         inf = [jnp.zeros((msm_mod.CHUNK,), bool) for _ in xs]
         basis = msm_mod.DeviceBasis(affines=None, x_chunks=xs, y_chunks=ys,
                                     inf_chunks=inf, length=max_degree + 1)
+        # tau-powers CRS: lets ec/msm3.py regenerate shifted bases by
+        # fixed-base scalar multiplication instead of doubling ladders
+        basis.tau = tau
         g1 = curve.g1_generator()
         g2 = curve.g2_generator()
         kzg = KZG.__new__(KZG)
@@ -159,15 +162,39 @@ class KZG:
     def open(self, poly, x: int) -> KZGOpeningProof:
         """Open p at x: y = p(x), commit to q = (p - y)/(X - x)
         (`kzg.rs:75-96`)."""
+        return self.open_many([(poly, x)])[0]
+
+    def open_many(self, polys_xs: list) -> list:
+        """Batch of openings [(poly, x), ...] with no transcript events in
+        between: quotients sequentially, then ALL quotient commitments as
+        one fused multi-MSM (engine.msm_many).  Proof objects are
+        byte-identical to sequential `open` calls."""
         from ..utils.profiling import phase
 
+        ys, qs = [], []
         with phase("kzg/quotient"):
-            y, q = self.engine.quotient_by_linear(poly, x)
+            for poly, x in polys_xs:
+                y, q = self.engine.quotient_by_linear(poly, x)
+                ys.append(y)
+                qs.append(q)
         with phase("kzg/open_msm"):
-            q_commitment = self.engine.msm(
-                self.engine.basis_slice(self._basis, self.engine.vec_len(q)),
-                q)
-        return KZGOpeningProof(x=x % R, y=y, proof=q_commitment)
+            comms = self.engine.msm_many(
+                [(self.engine.basis_slice(self._basis,
+                                          self.engine.vec_len(q)), q)
+                 for q in qs])
+        return [KZGOpeningProof(x=x % R, y=y, proof=c)
+                for (_, x), y, c in zip(polys_xs, ys, comms)]
+
+    def commit_many(self, polys: list) -> list:
+        """Batch of commitments with no transcript events in between, as
+        one fused multi-MSM."""
+        from ..utils.profiling import phase
+
+        with phase("kzg/commit_msm"):
+            return self.engine.msm_many(
+                [(self.engine.basis_slice(self._basis,
+                                          self.engine.vec_len(p)), p)
+                 for p in polys])
 
     def verify_opening(self, commitment: curve.Jacobian, proof: KZGOpeningProof) -> bool:
         """Pairing equation e(C - y G1, G2) = e(pi, tau G2 - x G2)

@@ -70,6 +70,11 @@ class MultilinearPCS:
     def commit(self, poly) -> curve.Jacobian:
         return self.kzg.commit(poly)
 
+    def commit_many(self, polys: list) -> list:
+        """Adjacent commitments (no transcript events in between) as one
+        fused multi-MSM."""
+        return self.kzg.commit_many(polys)
+
     def open(self, poly, eval_point: list[int], transcript: Transcript) -> MLEvalProof:
         """`MLEvalProof::prove` (`mlpcs.rs:83-124`).  ASSUMES the commitment
         is already in the transcript."""
@@ -94,10 +99,9 @@ class MultilinearPCS:
         r_inv = inv(r, R)
 
         with phase("mlpcs/kzg_open_x4"):
-            poly_opening = self.kzg.open(poly, r)
-            poly_opening_inv = self.kzg.open(poly, r_inv)
-            s_opening = self.kzg.open(s_poly, r)
-            s_opening_inv = self.kzg.open(s_poly, r_inv)
+            (poly_opening, poly_opening_inv, s_opening,
+             s_opening_inv) = self.kzg.open_many(
+                [(poly, r), (poly, r_inv), (s_poly, r), (s_poly, r_inv)])
 
         return MLEvalProof(
             evaluation_point=[x % R for x in eval_point],

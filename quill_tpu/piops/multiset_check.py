@@ -76,8 +76,8 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
             "Multiplicities polynomial must not be provided in equality mode"
 
     with phase("multiset/commits"):
-        commitment_left = pcs.commit(denom_left)
-        commitment_right = pcs.commit(denom_right)
+        commitment_left, commitment_right = pcs.commit_many(
+            [denom_left, denom_right])
     transcript.append_g1(commitment_left)
     transcript.append_g1(commitment_right)
 

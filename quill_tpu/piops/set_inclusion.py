@@ -73,8 +73,8 @@ def prove(store_left: Store, h_left: VirtualRef,
     mult_evals = store_right.eval_expr_table(multiplicities)
     denom_right = engine.mul(denom_right, mult_evals)
 
-    commitment_left = pcs.commit(denom_left)
-    commitment_right = pcs.commit(denom_right)
+    commitment_left, commitment_right = pcs.commit_many(
+        [denom_left, denom_right])
     transcript.append_g1(commitment_left)
     transcript.append_g1(commitment_right)
 

@@ -96,13 +96,10 @@ class HyperPlonk:
         trace_size = rows * cols
 
         public_values = []
-        public_commitments = []
         for col in circuit.public_values():
             assert len(col) == rows, "Public column length mismatch"
             padded = list(col) + [0] * (trace_size - rows)
-            vec = engine.vec_from_ints(padded)
-            public_values.append(vec)
-            public_commitments.append(pcs.commit(vec))
+            public_values.append(engine.vec_from_ints(padded))
 
         id_evals, permutation_evals = circuit.permutation()
         assert len(id_evals) == trace_size, "ID polynomial length mismatch"
@@ -111,8 +108,9 @@ class HyperPlonk:
         id_vec = engine.vec_from_ints(id_evals)
         perm_vec = engine.vec_from_ints(permutation_evals)
 
-        id_commitment = pcs.commit(id_vec)
-        permutation_commitment = pcs.commit(perm_vec)
+        # all preprocessing commitments in one fused multi-MSM batch
+        *public_commitments, id_commitment, permutation_commitment = \
+            pcs.commit_many(public_values + [id_vec, perm_vec])
 
         vk = TraceVK(circuit=circuit,
                      public_columns_commitments=public_commitments,
@@ -221,7 +219,6 @@ class HyperPlonk:
         engine = pcs.engine
         transcript = Transcript(DOMAIN)
 
-        trace_commitments = []
         full_traces = []
         for trace_witness, vk in zip(witness_traces, self.trace_vks):
             witness = trace_witness.columns
@@ -237,14 +234,15 @@ class HyperPlonk:
             flat: list[int] = []
             for col in witness:
                 flat.extend(col)
-            full_witness = engine.vec_from_ints(flat)
+            full_traces.append(engine.vec_from_ints(flat))
 
-            with phase("prove/witness_commit"):
-                witness_commitment = pcs.commit(full_witness)
+        # the per-trace appends (`proof.rs:279-280`) only interleave
+        # appends, never draws, so all witness commitments batch into one
+        # fused multi-MSM with an unchanged transcript
+        with phase("prove/witness_commit"):
+            trace_commitments = pcs.commit_many(full_traces)
+        for witness_commitment in trace_commitments:
             transcript.append_g1(witness_commitment)
-
-            trace_commitments.append(witness_commitment)
-            full_traces.append(full_witness)
 
         trace_proofs = []
         for i, trace_witness in enumerate(witness_traces):

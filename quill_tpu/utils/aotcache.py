@@ -12,10 +12,14 @@ Usage: wrap a top-level jit-style function whose arguments are plain arrays
 
     run = aot_wrap("msm8.sort_gather", run)
 
-Keys include a hash of every quill_tpu source file and the jax version, so
-any code edit invalidates the whole cache (correctness over reuse; the next
-run repopulates).  Disabled on the CPU backend (tests run interpret-mode
-Pallas there; exports are platform-specific) and via QUILL_AOT_CACHE=0.
+Keys include a hash of the kernel's source dependencies and the jax
+version.  By default that is every quill_tpu source file, so any edit
+invalidates the entry (correctness over reuse); kernel families whose
+lowering only depends on a few subpackages pass `deps=("ec", "fields",
+"utils")`-style lists so edits to unrelated layers (engine orchestration,
+piops, pcs) keep their multi-minute exports warm.  Disabled on the CPU
+backend (tests run interpret-mode Pallas there; exports are
+platform-specific) and via QUILL_AOT_CACHE=0.
 """
 
 from __future__ import annotations
@@ -27,19 +31,30 @@ import pathlib
 import jax
 import jax.numpy as jnp
 
-_CODE_HASH: str | None = None
+_CODE_HASHES: dict = {}
 
 
-def _code_hash() -> str:
-    global _CODE_HASH
-    if _CODE_HASH is None:
-        h = hashlib.sha256(jax.__version__.encode())
+def _code_hash(deps: tuple | None) -> str:
+    h = _CODE_HASHES.get(deps)
+    if h is None:
+        hs = hashlib.sha256(jax.__version__.encode())
         root = pathlib.Path(__file__).resolve().parent.parent
-        for p in sorted(root.rglob("*.py")):
-            h.update(p.name.encode())
-            h.update(p.read_bytes())
-        _CODE_HASH = h.hexdigest()[:16]
-    return _CODE_HASH
+        if deps is None:
+            paths = sorted(root.rglob("*.py"))
+        else:
+            paths = []
+            for d in deps:
+                p = root / d
+                if p.is_dir():
+                    paths.extend(sorted(p.rglob("*.py")))
+                else:
+                    paths.append(p)
+        for p in paths:
+            hs.update(str(p.relative_to(root)).encode())
+            hs.update(p.read_bytes())
+        h = hs.hexdigest()[:16]
+        _CODE_HASHES[deps] = h
+    return h
 
 
 def _cache_dir() -> pathlib.Path:
@@ -58,9 +73,10 @@ def _enabled() -> bool:
 
 
 class _AotCall:
-    def __init__(self, name: str, fn):
+    def __init__(self, name: str, fn, deps: tuple | None = None):
         self._name = name
         self._jit = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
+        self._deps = deps
         self._per_sig: dict = {}
 
     def __call__(self, *args):
@@ -77,7 +93,7 @@ class _AotCall:
 
     def _load_or_export(self, args, sig):
         tag = hashlib.sha256(
-            (self._name + repr(sig) + _code_hash()).encode()
+            (self._name + repr(sig) + _code_hash(self._deps)).encode()
         ).hexdigest()[:24]
         path = _cache_dir() / f"{tag}.jaxexport"
         if path.exists():
@@ -97,7 +113,9 @@ class _AotCall:
         return jax.jit(exp.call)
 
 
-def aot_wrap(name: str, fn) -> _AotCall:
+def aot_wrap(name: str, fn, deps: tuple | None = None) -> _AotCall:
     """Wrap a function of plain-array arguments (no static args) in the AOT
-    export cache.  Equivalent to jax.jit(fn) semantically."""
-    return _AotCall(name, fn)
+    export cache.  Equivalent to jax.jit(fn) semantically.  `deps` lists
+    the quill_tpu subpackages / files whose sources the kernel's lowering
+    depends on (default: the whole package)."""
+    return _AotCall(name, fn, deps)
