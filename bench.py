@@ -137,15 +137,16 @@ def bench_small_configs(extra):
     from quill_tpu.engine.device import TpuEngine
     from quill_tpu.fields.bn254 import R
     from quill_tpu.pcs import ipa
-    from quill_tpu.pcs.kzg import cached_trusted_setup
+    from quill_tpu.pcs.kzg import KZG
     from quill_tpu.pcs.mlpcs import MultilinearPCS
     from quill_tpu.transcript.transcript import Transcript
 
     eng = TpuEngine()
     rng = random.Random(0)
 
-    # 1) univariate KZG commit + open at 2^10
-    kzg = cached_trusted_setup(eng, 1 << 10)
+    # device-generated CRS (fixed-base tau-power kernel + disk cache):
+    # the host trusted setup is minutes of Python EC on a cold cache
+    kzg = KZG.device_setup(eng, 1 << 10)
     poly = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 10)])
     t0 = time.time()
     kzg.commit(poly)
@@ -153,7 +154,7 @@ def bench_small_configs(extra):
     extra["kzg_commit_open_2^10_sec"] = round(time.time() - t0, 3)
 
     # 2) IPA over univariate PCS at 2^14 coefficients
-    kzg14 = cached_trusted_setup(eng, 1 << 14)
+    kzg14 = KZG.device_setup(eng, 1 << 14)
     p1 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
     p2 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
     t = Transcript(b"bench_ipa")
@@ -164,7 +165,7 @@ def bench_small_configs(extra):
     extra["ipa_prove_2^14_sec"] = round(time.time() - t0, 3)
 
     # 3) multilinear PCS commit + eval proof, 16-variable hypercube
-    pcs = MultilinearPCS(cached_trusted_setup(eng, 1 << 16))
+    pcs = MultilinearPCS(KZG.device_setup(eng, 1 << 16))
     mp = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 16)])
     t = Transcript(b"bench_mlpcs")
     t0 = time.time()

@@ -220,8 +220,14 @@ def batch_to_affine(points: list[Jacobian]) -> list[Affine]:
 
     Fixes the reference's per-commit per-point `into_affine` loop
     (`/root/reference/pcs/src/kzg.rs:67-71`) at the host level too.
+    G1 batches route to the native C backend (`native/ec_g1.c`) when built.
     """
     n = len(points)
+    if n and isinstance(points[0].X, Fq):
+        from . import native_ec
+
+        if native_ec.available():
+            return native_ec.batch_to_affine(points)
     zs = [p.Z for p in points]
     out: list[Affine | None] = [None] * n
     prefix = [None] * n
@@ -289,6 +295,11 @@ def msm_host(points: list[Affine], scalars: list[int], window_bits: int = 8) -> 
     n = min(len(points), len(scalars))
     if n == 0:
         return Jacobian.identity(Fq(1))
+    if isinstance(points[0].x, Fq):
+        from . import native_ec
+
+        if native_ec.available():
+            return native_ec.msm(points[:n], scalars[:n])
     c = window_bits
     num_windows = (254 + c - 1) // c
     window_sums = []

@@ -64,6 +64,12 @@ from ..utils.aotcache import aot_wrap  # noqa: E402
 from . import msm as msm12  # noqa: E402
 from . import msm8  # noqa: E402
 
+# AOT-cache dependency set: ONLY files whose source affects the lowering of
+# these kernels -- host-side ec modules (curve.py, pairing.py, native_ec.py,
+# tower.py) must NOT invalidate multi-minute device kernel exports.
+EC_KDEPS = ('ec/device.py', 'ec/fixed_base.py', 'ec/msm.py', 'ec/msm3.py',
+            'ec/msm8.py', 'fields')
+
 L = f8.L
 L3 = 3 * L
 LOG2_CHUNK = msm12.LOG2_CHUNK
@@ -214,7 +220,7 @@ def _sort_gather(scs, base_sh):
     return sorted_k, perm, leaves
 
 
-_k_sortg = aot_wrap("msm3.sortg", _sort_gather, deps=('ec', 'fields', 'utils'))
+_k_sortg = aot_wrap("msm3.sortg", _sort_gather, deps=EC_KDEPS)
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +296,7 @@ def _up_call(k_out: int, m_len: int):
             interpret=p8._interpret(),
         )(pack, x)
 
-    return aot_wrap(f"msm3.up{k_out}x{m_len}", run, deps=('ec', 'fields', 'utils'))
+    return aot_wrap(f"msm3.up{k_out}x{m_len}", run, deps=EC_KDEPS)
 
 
 @functools.lru_cache(maxsize=None)
@@ -315,7 +321,7 @@ def _down_call(k_in: int, m_len: int):
             interpret=p8._interpret(),
         )(pack, i_arr, u_arr)
 
-    return aot_wrap(f"msm3.down{k_in}x{m_len}", run, deps=('ec', 'fields', 'utils'))
+    return aot_wrap(f"msm3.down{k_in}x{m_len}", run, deps=EC_KDEPS)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +412,7 @@ def _ladder_call(n: int):
             sh *= 2
         return v[:, :n]
 
-    return aot_wrap(f"msm3.ladder{n}", run, deps=('ec', 'fields', 'utils'))
+    return aot_wrap(f"msm3.ladder{n}", run, deps=EC_KDEPS)
 
 
 def _cgather_fn(sorted_k, perm, i1, base_sh, acc_s):
@@ -457,7 +463,7 @@ def _cgather_fn(sorted_k, perm, i1, base_sh, acc_s):
     return t, totals
 
 
-_k_cgather = aot_wrap("msm3.cgather", _cgather_fn, deps=('ec', 'fields', 'utils'))
+_k_cgather = aot_wrap("msm3.cgather", _cgather_fn, deps=EC_KDEPS)
 
 
 def _ctail_fn(red, acc_s, acc_t, totals):
@@ -473,7 +479,7 @@ def _ctail_fn(red, acc_s, acc_t, totals):
             _xadd(acc_t, totals, spec))
 
 
-_k_ctail = aot_wrap("msm3.ctail", _ctail_fn, deps=('ec', 'fields', 'utils'))
+_k_ctail = aot_wrap("msm3.ctail", _ctail_fn, deps=EC_KDEPS)
 
 
 # ---------------------------------------------------------------------------

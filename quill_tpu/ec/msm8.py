@@ -46,6 +46,9 @@ from ..fields.bn254 import P  # noqa: E402
 from ..utils.aotcache import aot_wrap  # noqa: E402
 from . import msm as msm12  # noqa: E402
 
+EC_KDEPS = ('ec/device.py', 'ec/fixed_base.py', 'ec/msm.py', 'ec/msm3.py',
+            'ec/msm8.py', 'fields')
+
 L = f8.L
 L3 = 3 * L
 LOG2_CHUNK = msm12.LOG2_CHUNK
@@ -326,8 +329,8 @@ slice_basis = msm12.slice_basis
 
 # AOT-cached entry points (trace+lowering skipped on warm processes; the
 # kernel bodies above stay plain functions so tests can call them directly)
-_k_to_f8_pair = aot_wrap("msm8.to_f8_pair", _k_to_f8_pair, deps=('ec', 'fields', 'utils'))
-_k_sort_gather8 = aot_wrap("msm8.sort_gather8", _k_sort_gather8, deps=('ec', 'fields', 'utils'))
-_k_chunk_scan = aot_wrap("msm8.chunk_scan", _k_chunk_scan, deps=('ec', 'fields', 'utils'))
-_k_collect8 = aot_wrap("msm8.collect8", _k_collect8, deps=('ec', 'fields', 'utils'))
-_k_triangle = aot_wrap("msm8.triangle", _k_triangle, deps=('ec', 'fields', 'utils'))
+_k_to_f8_pair = aot_wrap("msm8.to_f8_pair", _k_to_f8_pair, deps=EC_KDEPS)
+_k_sort_gather8 = aot_wrap("msm8.sort_gather8", _k_sort_gather8, deps=EC_KDEPS)
+_k_chunk_scan = aot_wrap("msm8.chunk_scan", _k_chunk_scan, deps=EC_KDEPS)
+_k_collect8 = aot_wrap("msm8.collect8", _k_collect8, deps=EC_KDEPS)
+_k_triangle = aot_wrap("msm8.triangle", _k_triangle, deps=EC_KDEPS)

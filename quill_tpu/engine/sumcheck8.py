@@ -67,6 +67,10 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from ..fields import device as fd12  # noqa: E402
 from ..fields import device8 as f8  # noqa: E402
+
+# kernel-lowering dependency set for the AOT cache (host-side engine
+# orchestration must not invalidate these exports)
+ENG_KDEPS = ('engine/sumcheck8.py', 'engine/device.py', 'fields')
 from ..fields import pallas8 as p8  # noqa: E402
 
 L = f8.L
@@ -187,7 +191,7 @@ def _entry_call(n: int):
 
     from ..utils.aotcache import aot_wrap
 
-    return aot_wrap(f"sc8.entry.{n}", run, deps=('engine', 'fields', 'utils'))
+    return aot_wrap(f"sc8.entry.{n}", run, deps=ENG_KDEPS)
 
 
 @functools.lru_cache(maxsize=None)
@@ -405,7 +409,7 @@ def _get_round8_call(expr, slot_items: tuple, degree: int, nc: int,
 
     from ..utils.aotcache import aot_wrap
 
-    run = aot_wrap(f"sc8.round.{key}", run, deps=('engine', 'fields', 'utils'))
+    run = aot_wrap(f"sc8.round.{key}", run, deps=ENG_KDEPS)
     _ROUND8_CALLS[key] = run
     return run
 

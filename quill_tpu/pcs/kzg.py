@@ -82,7 +82,12 @@ class KZG:
         powers = [1] * (max_degree + 1)
         for i in range(1, max_degree + 1):
             powers[i] = powers[i - 1] * tau % R
-        g1_jac = [g1.scalar_mul(p) for p in powers]
+        from ..ec import native_ec
+
+        if native_ec.available():
+            g1_jac = native_ec.scalar_mul_many(g1.to_affine(), powers)
+        else:
+            g1_jac = [g1.scalar_mul(p) for p in powers]
         g1_points = curve.batch_to_affine(g1_jac)
         g2_points = [g2, g2.scalar_mul(tau)]
         return KZG(engine, max_degree, g1_points, g2_points, g1, g2)
