@@ -84,6 +84,12 @@ def pt_add(p1: tuple, p2: tuple) -> tuple:
     return X3, Y3, Z3
 
 
+def pt_neg(p: tuple) -> tuple:
+    """-P = (X : -Y : Z); negation stays in the lazy limb domain."""
+    X, Y, Z = p
+    return X, fd.neg(Y, FQ), Z
+
+
 def pt_select(pred: jnp.ndarray, p1: tuple, p2: tuple) -> tuple:
     """pred (batch shape) ? p1 : p2, coordinate-wise."""
     return tuple(jnp.where(pred[None, ...], a, b) for a, b in zip(p1, p2))

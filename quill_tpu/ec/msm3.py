@@ -68,7 +68,7 @@ from . import msm8  # noqa: E402
 # these kernels -- host-side ec modules (curve.py, pairing.py, native_ec.py,
 # tower.py) must NOT invalidate multi-minute device kernel exports.
 EC_KDEPS = ('ec/device.py', 'ec/fixed_base.py', 'ec/msm.py', 'ec/msm3.py',
-            'ec/msm8.py', 'fields')
+            'ec/msm8.py', 'fields', 'utils/jaxcfg.py')
 
 L = f8.L
 L3 = 3 * L

@@ -1,0 +1,523 @@
+"""Device Pippenger MSM v4: whole-MSM fused pipeline, ~6 dispatches per
+super-chunk.
+
+Counterpart of arkworks `VariableBaseMSM::msm_unchecked`
+(`/root/reference/pcs/src/kzg.rs:72`), fourth redesign.  The chained-op
+probe (`scripts/experiments/probe_chained.py`) showed the v3 cost model was
+wrong: a 2^20 sort_key_val costs ~1 ms and elementwise work is nearly free
+in a pipelined stream -- v3's 1.97 s at 2^20 was almost entirely
+per-dispatch overhead (~2-5 ms x ~580 AOT dispatches).  v4 keeps v3's
+algebra (flat shared-bucket window space over a shifted fixed basis +
+telescoped prefix-sum bucket combine) and restructures the pipeline into a
+handful of fused dispatches per SUPER-chunk (several CRS chunks at once):
+
+1. keys:     digit extraction + batch offsets, one jit
+2. sort:     ONE `sort_key_val` over the whole flat space
+3. gather:   ONE gather of the bf16 *affine* shifted basis into the
+             (S, 2L, M) leaf layout (pos = m*S + s; lanes own contiguous
+             ranges)
+4. up-sweep: ONE Pallas kernel; all 8 in-lane tree levels in VMEM,
+             leaf level specialized for affine (Z1=Z2=1) inputs, every
+             level's nodes stored (bf16 normal form) for step 6
+5. lane scan: ONE Pallas kernel; sequential-grid block ladder with a
+             carried offset point -> exclusive per-lane prefixes
+6. collect:  ONE jit; bucket-end positions by searchsorted, per-query
+             prefix = lane_excl[lane] + tree nodes along the in-lane path
+             (one gather per level, bit-masked), telescoped combine and a
+             log-depth reduction to per-batch (sum, total) accumulators
+
+Changes vs v3 that cut work besides dispatch count: the down-sweep is gone
+(up-sweep only: F adds instead of ~2.7F), leaves are affine (level-0 adds
+specialize to 9M+2m instead of 12M+2m; 2/3 the gather bytes at bf16), and
+the bucket collect reads tree nodes directly (no half-depth correction
+gathers).  Dead/padded scalars contribute digit 0, and bucket 0 cancels in
+the telescoped sum, so dead basis slots are pinned to the generator (a
+valid curve point) rather than the identity -- affine form has no identity.
+
+B independent MSMs over one CRS batch into the same pipeline exactly as in
+v3 (keys carry batch*NUM_BUCKETS offsets, lanes widen B-fold).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..utils.jaxcfg import configure_jax
+
+configure_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from ..fields import device8 as f8  # noqa: E402
+from ..fields import pallas8 as p8  # noqa: E402
+from ..fields.bn254 import P  # noqa: E402
+from ..utils.aotcache import aot_wrap  # noqa: E402
+from . import msm as msm12  # noqa: E402
+from . import msm3  # noqa: E402
+
+EC_KDEPS = msm3.EC_KDEPS + ('ec/msm4.py',)
+
+L = f8.L
+L2 = 2 * L
+L3 = 3 * L
+CHUNK = msm12.CHUNK
+WINDOW_BITS = msm12.WINDOW_BITS
+NUM_WINDOWS = msm12.NUM_WINDOWS
+NUM_BUCKETS = msm12.NUM_BUCKETS
+
+S = 256                    # in-lane tree height (leaf rows per lane)
+LOG2_S = 8
+_MT = 128                  # lanes per up-sweep grid step (VMEM bound)
+_LANE_BLK = 4096           # lanes per lane-scan grid step
+
+# super-chunk size: CRS chunks fused into one pipeline pass, scaled down
+# for batched MSMs to bound device memory (flat bf16 leaves + node levels)
+NSC = 4
+
+
+# ---------------------------------------------------------------------------
+# affine bf16 shifted basis (per CRS chunk, cached on the root basis)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _k_prefix_mul8(x):
+    """Inclusive Montgomery-product prefix along columns of (33, n)."""
+    n = x.shape[-1]
+    idx = jax.lax.iota(jnp.int32, n)
+    onec = jnp.asarray(f8.FQ8.one_mont, jnp.float32)[:, None]
+    sh = 1
+    v = x
+    while sh < n:
+        ident = jnp.broadcast_to(onec, (L, sh))
+        shifted = jnp.concatenate([ident, v[:, :-sh]], axis=1)
+        comb = f8.mont_mul(v, shifted, f8.FQ8)
+        v = jnp.where((idx >= sh)[None, :], comb, v)
+        sh *= 2
+    return v
+
+
+@jax.jit
+def _k_suffix_mul8(x):
+    return _k_prefix_mul8(x[:, ::-1])[:, ::-1]
+
+
+@jax.jit
+def _k_affine_from_pref(xyz, pe, se, inv_total_mont, gen_cols):
+    """inv(z_i) = excl_prefix_i * excl_suffix_i * inv_total; affine coords
+    x*invz, y*invz in Montgomery bf16 normal form.  Dead slots (z == 0
+    canonical) take the generator columns."""
+    spec = f8.FQ8
+    x, y, z = xyz[:L], xyz[L:L2], xyz[L2:]
+    n = x.shape[-1]
+    onec = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont, jnp.float32)[:, None], (L, 1))
+    pe_x = jnp.concatenate([onec, pe[:, :-1]], axis=1)
+    se_x = jnp.concatenate([se[:, 1:], jnp.broadcast_to(onec, (L, 1))],
+                           axis=1)
+    invz = f8.mont_mul(f8.mont_mul(pe_x, se_x, spec),
+                       jnp.broadcast_to(inv_total_mont, (L, n)), spec)
+    ax = f8.normal_form(f8.mont_mul(x, invz, spec))
+    ay = f8.normal_form(f8.mont_mul(y, invz, spec))
+    dead = jnp.all(f8.lazy_to_canonical(z, spec) == 0, axis=0)
+    out = jnp.concatenate([ax, ay], axis=0)
+    return jnp.where(dead[None, :], gen_cols, out).astype(jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=1)
+def _generator_cols() -> np.ndarray:
+    """(2L, 1) f32 generator affine coords, Montgomery canonical limbs."""
+    r_mont = (1 << f8.R_BITS) % P
+    gx = 1 * r_mont % P
+    gy = 2 * r_mont % P
+    return np.concatenate([f8.ints_to_limbs8([gx]),
+                           f8.ints_to_limbs8([gy])], axis=0)
+
+
+def shifted_affine_basis(basis: msm12.DeviceBasis) -> list:
+    """Per-CRS-chunk (2L, W*CHUNK) bf16 affine Montgomery shifted bases,
+    cached on the ROOT basis (one normalization per chunk per process).
+    One host round-trip per chunk: the single total-product inversion."""
+    from ..fields.scalar import inv as sinv
+
+    root = getattr(basis, "_root", basis)
+    cache = getattr(root, "_b4_chunks", None)
+    if cache is None:
+        cache = {}
+        root._b4_chunks = cache
+    tau = getattr(root, "tau", None)
+    gen_cols = jnp.asarray(_generator_cols())
+    out = []
+    for j in range(len(basis.x_chunks)):
+        if j not in cache:
+            if tau is not None:
+                proj = msm3._shift_fixed_base(root, tau, j)
+            else:
+                proj = msm3._shift_doubling(basis, j)
+            z = proj[L2:]
+            # dead (z==0) slots would zero the whole product: substitute 1
+            zc = f8.lazy_to_canonical(z, f8.FQ8)
+            dead = jnp.all(zc == 0, axis=0)
+            onec = jnp.asarray(f8.FQ8.one_mont, jnp.float32)[:, None]
+            z_ok = jnp.where(dead[None, :], jnp.broadcast_to(onec, z.shape),
+                             z)
+            pe = _k_prefix_mul8(z_ok)
+            se = _k_suffix_mul8(z_ok)
+            total = np.asarray(f8.from_mont(pe[:, -1:], f8.FQ8))
+            tot_int = f8.limbs8_to_ints(total)[0]
+            inv_int = sinv(tot_int, P) * ((1 << f8.R_BITS) % P) % P
+            inv_mont = jnp.asarray(f8.ints_to_limbs8([inv_int]))
+            cache[j] = _k_affine_from_pref(proj, pe, se, inv_mont, gen_cols)
+            del proj
+        out.append(cache[j])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# keys + sort + gather
+# ---------------------------------------------------------------------------
+
+
+def _keys_fn(scs):
+    """(B, nsc, 22, CHUNK) canonical limbs -> (B*nsc*W*CHUNK,) int32 keys
+    ordered (b, c, w, i), key = b*NUM_BUCKETS + digit."""
+    nb, nsc = scs.shape[0], scs.shape[1]
+    digits = jax.vmap(jax.vmap(msm12._extract_digits))(scs)  # (B,nsc,W,N)
+    keys = (digits
+            + (jnp.arange(nb, dtype=jnp.int32) * NUM_BUCKETS)[:, None, None,
+                                                              None])
+    return keys.reshape(-1)
+
+
+def _sortg_fn(keys, base_cat):
+    """Sort keys; gather bf16 affine leaf array (S, 2L, M) in pos = m*S + s
+    order.  base_cat: (2L, nsc*W*CHUNK) bf16 (chunk-major, matching the
+    (c, w, i) flat order of the keys within one batch)."""
+    per = base_cat.shape[-1]
+    iota = jax.lax.iota(jnp.int32, keys.shape[0])
+    sorted_k, perm = jax.lax.sort_key_val(keys, iota)
+    m_total = keys.shape[0] // S
+    perm_t = (perm % per).reshape(m_total, S).T           # (S, M)
+    g = base_cat[:, perm_t.reshape(-1)]                   # (2L, S*M)
+    leaves = jnp.transpose(g.reshape(L2, S, m_total), (1, 0, 2))
+    return sorted_k, perm, leaves
+
+
+_k_keys = aot_wrap("msm4.keys", _keys_fn, deps=EC_KDEPS)
+_k_sortg = aot_wrap("msm4.sortg", _sortg_fn, deps=EC_KDEPS)
+
+
+# ---------------------------------------------------------------------------
+# fused up-sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _split3(v):
+    return v[:L], v[L:L2], v[L2:]
+
+
+def _affine_add_emit(a1, a2, spec):
+    """Complete addition with Z1 = Z2 = 1 (RCB15 alg 7 specialized):
+    t2 = 1, (Y1+Z1)(Y2+Z2)-t1-t2 = Y1+Y2, (X1+Z1)(X2+Z2)-t0-t2 = X1+X2.
+    9 full muls + 2 small muls."""
+    X1, Y1 = a1
+    X2, Y2 = a2
+    add = lambda a, b: f8.add(a, b, spec)
+    sub = lambda a, b: f8.sub(a, b, spec)
+    mul = lambda a, b: f8.mont_mul(a, b, spec)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = sub(sub(mul(add(X1, Y1), add(X2, Y2)), t0), t1)
+    t4 = add(Y1, Y2)
+    w = add(X1, X2)
+
+    t0_3 = p8._small_mul(t0, 3, spec)
+    # b3 * Z1 * Z2 = 9 in Montgomery form, embedded as python-scalar fulls
+    # (Pallas kernels cannot capture array constants)
+    nine = f8.int_to_limbs8(9 * ((1 << f8.R_BITS) % P) % P)
+    t2_9 = jnp.stack([jnp.full(X1.shape[1:], float(nine[i]), jnp.float32)
+                      for i in range(L)], axis=0)
+    z3p = add(t1, t2_9)
+    t1p = sub(t1, t2_9)
+    y3m = p8._small_mul(w, 9, spec)
+
+    X3 = sub(mul(t3, t1p), mul(t4, y3m))
+    Y3 = add(mul(t1p, z3p), mul(y3m, t0_3))
+    Z3 = add(mul(z3p, t4), mul(t0_3, t3))
+    return X3, Y3, Z3
+
+
+def _r3(v, rows, mt):
+    """Row read -> 3D (rows, mt//128, 128) f32 tile when lane-aligned."""
+    if mt % 128 == 0:
+        return v.reshape(rows, mt // 128, 128)
+    return v
+
+
+def _up_fused_kernel(modulus, mt, c_ref, lv_ref, *out_refs):
+    """leaves (S, 2L, mt) bf16 -> level outputs out_k (S>>(k+1), 3L, mt)
+    bf16 normal form, k = 0..7.  Level k reads level k-1's bf16 output
+    (normal-form round trips are exact), so no f32 scratch is needed and
+    VMEM holds leaves + all level blocks (~11 MB at mt=128)."""
+    spec = p8.unpack_spec(modulus, c_ref[:])
+
+    def body0(s, carry):
+        a = _r3(lv_ref[2 * s].astype(jnp.float32), L2, mt)
+        b = _r3(lv_ref[2 * s + 1].astype(jnp.float32), L2, mt)
+        X3, Y3, Z3 = _affine_add_emit((a[:L], a[L:]), (b[:L], b[L:]), spec)
+        nf = f8.normal_form(jnp.concatenate([X3, Y3, Z3], axis=0))
+        out_refs[0][pl.ds(s, 1)] = nf.reshape(1, L3, mt).astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, S // 2, body0, 0)
+
+    for k in range(1, LOG2_S):
+        def body(s, carry, k=k):
+            a = _split3(_r3(out_refs[k - 1][2 * s].astype(jnp.float32),
+                            L3, mt))
+            b = _split3(_r3(out_refs[k - 1][2 * s + 1].astype(jnp.float32),
+                            L3, mt))
+            X3, Y3, Z3 = p8.emit_pt_add(a, b, spec)
+            nf = f8.normal_form(jnp.concatenate([X3, Y3, Z3], axis=0))
+            out_refs[k][pl.ds(s, 1)] = (
+                nf.reshape(1, L3, mt).astype(jnp.bfloat16))
+            return carry
+
+        jax.lax.fori_loop(0, S >> (k + 1), body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _up_fused_call(m_len: int):
+    pack = p8.consts_pack(f8.FQ8.modulus)
+    mt = min(_MT, m_len)
+    grid = (m_len // mt,)
+    in_spec = pl.BlockSpec((S, L2, mt), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((S >> (k + 1), L3, mt), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM)
+                 for k in range(LOG2_S)]
+    out_shapes = [jax.ShapeDtypeStruct((S >> (k + 1), L3, m_len),
+                                       jnp.bfloat16)
+                  for k in range(LOG2_S)]
+
+    def run(leaves):
+        return pl.pallas_call(
+            functools.partial(_up_fused_kernel, f8.FQ8.modulus, mt),
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM), in_spec],
+            out_specs=out_specs,
+            interpret=p8._interpret(),
+        )(pack, leaves)
+
+    return aot_wrap(f"msm4.up{m_len}", run, deps=EC_KDEPS)
+
+
+# ---------------------------------------------------------------------------
+# lane scan kernel: exclusive per-lane prefixes with a carried offset
+# ---------------------------------------------------------------------------
+
+
+def _xadd3(a, b, spec, n):
+    """Stacked (3L, n) complete add; 3D-tiled when n is lane-aligned (the
+    2D layout uses 1 of 8 sublanes -- ~5x slower on the VPU)."""
+    if n % 128 == 0 and n >= 128:
+        a3 = a.reshape(L3, n // 128, 128)
+        b3 = b.reshape(L3, n // 128, 128)
+        out = p8.emit_pt_add(_split3(a3), _split3(b3), spec)
+        return jnp.concatenate(out, axis=0).reshape(L3, n)
+    out = p8.emit_pt_add(_split3(a), _split3(b), spec)
+    return jnp.concatenate(out, axis=0)
+
+
+def _lane_scan_kernel(blk, c_ref, t_ref, o_ref, sv):
+    """Lane totals (3L, blk) bf16 per grid step -> exclusive prefixes
+    (3L, blk) bf16; scratch (3L, 1-tile) carries the running offset point
+    across sequential grid steps."""
+    spec = p8.unpack_spec(f8.FQ8.modulus, c_ref[:])
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        zero = jnp.zeros((L, 1, 128), jnp.float32)
+        one = jnp.stack([jnp.full((1, 128), float(f8.FQ8.one_mont[i]),
+                                  jnp.float32) for i in range(L)], axis=0)
+        sv[:] = jnp.concatenate([zero, one, zero], axis=0)
+
+    def ident_flat(n):
+        zero = jnp.zeros((L, n), jnp.float32)
+        one = jnp.stack([jnp.full((n,), float(f8.FQ8.one_mont[i]),
+                                  jnp.float32) for i in range(L)], axis=0)
+        return jnp.concatenate([zero, one, zero], axis=0)
+
+    # in-block inclusive ladder; identity-prepend instead of masking
+    # (identity is absorbing under the complete addition)
+    incl = t_ref[:].astype(jnp.float32)          # (3L, blk)
+    sh = 1
+    while sh < blk:
+        shifted = jnp.concatenate([ident_flat(sh), incl[:, :-sh]], axis=1)
+        incl = _xadd3(incl, shifted, spec, blk)
+        sh *= 2
+
+    # exclusive shift + carried offset
+    excl = jnp.concatenate([ident_flat(1), incl[:, :-1]], axis=1)
+    off = sv[:][:, 0, 0:1]                        # (3L, 1)
+    with_off = _xadd3(excl, jnp.broadcast_to(off, (L3, blk)), spec, blk)
+    o_ref[:] = f8.normal_form(with_off).astype(jnp.bfloat16)
+
+    # update carry: offset += block total (incl[last])
+    new_off = _xadd3(off, incl[:, -1:], spec, 1)
+    sv[:] = jnp.broadcast_to(new_off[:, :, None], (L3, 1, 128))
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_scan_call(m_len: int):
+    pack = p8.consts_pack(f8.FQ8.modulus)
+    blk = min(_LANE_BLK, m_len)
+    grid = (m_len // blk,)
+    spec = pl.BlockSpec((L3, blk), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+    def run(totals):
+        return pl.pallas_call(
+            functools.partial(_lane_scan_kernel, blk),
+            out_shape=jax.ShapeDtypeStruct((L3, m_len), jnp.bfloat16),
+            grid=grid,
+            in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM), spec],
+            out_specs=spec,
+            scratch_shapes=[pltpu.VMEM((L3, 1, 128), jnp.float32)],
+            interpret=p8._interpret(),
+        )(pack, totals)
+
+    return aot_wrap(f"msm4.lanescan{m_len}", run, deps=EC_KDEPS)
+
+
+# ---------------------------------------------------------------------------
+# collect: bucket-end queries via tree-path gathers + telescoped combine
+# ---------------------------------------------------------------------------
+
+
+def _xadd(a, b, spec):
+    out = p8.emit_pt_add(_split3(a), _split3(b), spec)
+    return jnp.concatenate(out, axis=0)
+
+
+def _collect_fn(sorted_k, perm, base_cat, lane_excl, levels, acc_s, acc_t):
+    """Gather the telescoped bucket-end prefix for every (batch, bucket)
+    query and fold into the (3L, B) accumulators.
+
+    P[pos] (inclusive prefix of the first pos+1 sorted elements) =
+      lane_excl[lane] + sum over set bits k of r (r = pos%S + 1):
+        k = 0  -> the sorted LEAF at flat position (lane*S + (r & ~1)),
+                  fetched straight from the shifted basis via perm;
+        k >= 1 -> level (k-1) node (r >> k is odd; index (r >> k) // 2).
+    """
+    spec = f8.FQ8
+    nb = acc_s.shape[-1]
+    m = NUM_BUCKETS - 1
+    per = base_cat.shape[-1]
+    nq = nb * m + nb
+    base = jnp.arange(nb, dtype=jnp.int32)[:, None] * NUM_BUCKETS
+    q_buckets = (base + jnp.arange(m, dtype=jnp.int32)[None, :]).reshape(-1)
+    queries = jnp.concatenate([q_buckets, base[:, 0] + m])
+    pos = jnp.searchsorted(sorted_k, queries, side="right") - 1
+    ok = pos >= 0
+    pos_c = jnp.maximum(pos, 0)
+    lane = pos_c // S
+    r = pos_c % S + 1
+
+    ident = msm3._ident_cols(nq)
+    acc = lane_excl[:, lane].astype(jnp.float32)
+
+    # leaf contribution (bit 0 of r)
+    leaf_flat = lane * S + (r & ~1)
+    lp = perm[leaf_flat] % per
+    lxy = base_cat[:, lp].astype(jnp.float32)
+    one = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont, jnp.float32)[:, None], (L, nq))
+    leaf_pt = jnp.concatenate([lxy[:L], lxy[L:], one], axis=0)
+    use = (r & 1) == 1
+    term = jnp.where(use[None, :], leaf_pt, ident)
+    acc = _xadd(acc, term, spec)
+
+    # level nodes (bits 1..8 of r): the aligned block for bit k starts at
+    # a = (r >> (k+1)) << (k+1), so the level-(k-1) node index is a / 2^k
+    for k in range(1, LOG2_S + 1):
+        idx = (r >> (k + 1)) * 2
+        node = levels[k - 1][idx, :, lane].T.astype(jnp.float32)
+        use = ((r >> k) & 1) == 1
+        term = jnp.where(use[None, :], node, ident)
+        acc = _xadd(acc, term, spec)
+
+    vals = jnp.where(ok[None, :], acc, ident)
+
+    totals = vals[:, nb * m:]
+    bv = vals[:, :nb * m].reshape(L3, nb, m)
+    # log-depth reduction over the m bucket-end prefixes per batch
+    width = m + 1  # 8192, power of two after identity pad
+    pad = jnp.broadcast_to(msm3._ident_cols(nb)[:, :, None], (L3, nb, 1))
+    red = jnp.concatenate([bv, pad], axis=2)
+    while red.shape[2] > 1:
+        h = red.shape[2] // 2
+        red = _xadd(red[:, :, :h], red[:, :, h:], spec)
+    return (_xadd(acc_s, red[:, :, 0], spec),
+            _xadd(acc_t, totals, spec))
+
+
+_k_collect = aot_wrap("msm4.collect", _collect_fn, deps=EC_KDEPS)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def msm_device(basis: msm12.DeviceBasis, scalar_chunks: list, length: int):
+    return msm_device_batch(basis, [scalar_chunks])[0]
+
+
+def msm_device_batch(basis: msm12.DeviceBasis, batch_chunks: list) -> list:
+    """B independent MSMs over one CRS basis.  Super-chunks of
+    NSC//ceil(B/..) CRS chunks run the 6-dispatch fused pipeline; per-batch
+    (sum, total) accumulators combine across super-chunks; one host
+    finalize (`msm3._finalize_host`)."""
+    sh = shifted_affine_basis(basis)
+    nb = len(batch_chunks)
+    nch = max(len(c) for c in batch_chunks)
+    nsc = max(1, NSC // max(1, nb))
+    zero = None
+    acc_s = msm3._ident_cols(nb)
+    acc_t = msm3._ident_cols(nb)
+    for j0 in range(0, nch, nsc):
+        js = list(range(j0, min(j0 + nsc, nch)))
+        parts = []
+        for bc in batch_chunks:
+            for j in js:
+                if j < len(bc):
+                    parts.append(bc[j])
+                else:
+                    if zero is None:
+                        zero = jnp.zeros((22, CHUNK), jnp.int32)
+                    parts.append(zero)
+        scs = jnp.stack(parts, axis=0).reshape(nb, len(js), 22, CHUNK)
+        base_cat = jnp.concatenate([sh[j] for j in js], axis=1)
+        keys = _k_keys(scs)
+        sorted_k, perm, leaves = _k_sortg(keys, base_cat)
+        levels = _up_fused_call(leaves.shape[-1])(leaves)
+        lane_excl = _lane_scan_call(leaves.shape[-1])(
+            levels[-1].reshape(L3, -1))
+        acc_s, acc_t = _k_collect(sorted_k, perm, base_cat, lane_excl,
+                                  levels, acc_s, acc_t)
+    return msm3._finalize_host(acc_s, acc_t)
+
+
+load_basis = msm12.load_basis
+slice_basis = msm12.slice_basis

@@ -47,7 +47,7 @@ from ..utils.aotcache import aot_wrap  # noqa: E402
 from . import msm as msm12  # noqa: E402
 
 EC_KDEPS = ('ec/device.py', 'ec/fixed_base.py', 'ec/msm.py', 'ec/msm3.py',
-            'ec/msm8.py', 'fields')
+            'ec/msm8.py', 'fields', 'utils/jaxcfg.py')
 
 L = f8.L
 L3 = 3 * L

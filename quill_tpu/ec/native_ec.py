@@ -43,6 +43,13 @@ def _load():
         return _LIB
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native", "_ec_g1.so")
+    if not os.path.exists(path):
+        _LIB = False  # simply missing: silent pure-Python fallback
+        return _LIB
+    # The self-check oracle routes through curve.msm_host/batch_to_affine,
+    # which call back into available() -> _load(): pin the in-progress
+    # sentinel FIRST so the oracle runs pure-Python instead of recursing.
+    _LIB = False
     try:
         lib = ctypes.CDLL(path)
         lib.quill_g1_msm.argtypes = [_U64P, _U8P, ctypes.c_size_t, _U64P,
@@ -60,8 +67,13 @@ def _load():
         if not _self_check(lib):
             raise RuntimeError("native ec_g1 self-check failed")
         _LIB = lib
-    except Exception:
-        _LIB = False
+    except Exception as e:
+        # the .so exists but is broken: warn once (a silent fallback would
+        # show up only as an unexplained host-EC slowdown), keep _LIB=False
+        import warnings
+
+        warnings.warn(f"native ec_g1 backend disabled ({e!r}); "
+                      "falling back to pure Python", RuntimeWarning)
     return _LIB
 
 

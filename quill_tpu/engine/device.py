@@ -864,6 +864,17 @@ class TpuEngine:
             return DVec(chunks=out_chunks, length=a.length + b.length - 1)
         ha = a if not self._is_dev(a) else self.vec_to_ints(a)
         hb = b if not self._is_dev(b) else self.vec_to_ints(b)
+        la, lb = len(ha), len(hb)
+        out_len = la + lb - 1
+        # sub-chunk products above the Kronecker range: zero-pad to one
+        # chunk and ride the device NTT (the host Python NTT at 2^14-2^15
+        # coefficients costs seconds; this path made IPA 2^14 host-bound)
+        if 4096 < out_len < CHUNK and la > 0 and lb > 0:
+            da = self._dvec_from_ints([int(x) for x in ha])
+            db = self._dvec_from_ints([int(x) for x in hb])
+            dv = self.poly_mul(da, db)
+            ints = self.host.vec_to_ints(self.to_host_vec(dv))
+            return self.host.vec_from_ints([int(x) for x in ints[:out_len]])
         out = self.host.poly_mul(ha, hb)
         if len(out) >= CHUNK:
             return self._dvec_from_ints([int(x) for x in out])
@@ -886,7 +897,9 @@ class TpuEngine:
 
         from ..ec import curve
         impl = os.environ.get("QUILL_MSM_IMPL", "3")
-        if impl == "3":
+        if impl == "4":
+            from ..ec import msm4 as msm_mod
+        elif impl == "3":
             from ..ec import msm3 as msm_mod
         elif impl == "8":
             from ..ec import msm8 as msm_mod
@@ -926,9 +939,12 @@ class TpuEngine:
         def fallback():
             return [self.msm(b, s) for b, s in jobs]
 
-        if impl != "3" or len(jobs) <= 1:
+        if impl not in ("3", "4") or len(jobs) <= 1:
             return fallback()
-        from ..ec import msm3 as msm_mod
+        if impl == "4":
+            from ..ec import msm4 as msm_mod
+        else:
+            from ..ec import msm3 as msm_mod
 
         batch_chunks = []
         bases = []

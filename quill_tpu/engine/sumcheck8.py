@@ -70,7 +70,8 @@ from ..fields import device8 as f8  # noqa: E402
 
 # kernel-lowering dependency set for the AOT cache (host-side engine
 # orchestration must not invalidate these exports)
-ENG_KDEPS = ('engine/sumcheck8.py', 'engine/device.py', 'fields')
+ENG_KDEPS = ('engine/sumcheck8.py', 'engine/device.py', 'fields',
+             'utils/jaxcfg.py')
 from ..fields import pallas8 as p8  # noqa: E402
 
 L = f8.L

@@ -19,18 +19,28 @@ from ..ec.pairing import pairing_check
 from ..fields.bn254 import R
 
 
-def _crs_cache_path(tau: int, count: int):
-    """On-disk cache for device-generated CRS chunks (deterministic in
-    (tau, count)); QUILL_CRS_CACHE=0 disables."""
-    import hashlib
+def _crs_cache_dir():
+    """Single CRS disk-cache contract for BOTH cache formats (device chunk
+    npz and host affine npz): QUILL_CRS_CACHE=0 disables, QUILL_CRS_CACHE_DIR
+    overrides the location."""
     import os
-    from pathlib import Path
 
     if os.environ.get("QUILL_CRS_CACHE", "1") == "0":
         return None
-    base = os.environ.get(
+    return os.environ.get(
         "QUILL_CRS_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "quill_tpu_crs"))
+
+
+def _crs_cache_path(tau: int, count: int):
+    """On-disk cache path for device-generated CRS chunks (deterministic in
+    (tau, count))."""
+    import hashlib
+    from pathlib import Path
+
+    base = _crs_cache_dir()
+    if base is None:
+        return None
     tag = hashlib.sha256(
         b"crs" + tau.to_bytes(32, "little") + count.to_bytes(8, "little")
     ).hexdigest()[:24]
@@ -261,12 +271,12 @@ class KZG:
 _SETUP_CACHE: dict = {}
 
 
-def _disk_cache_path(max_degree: int, seed: int) -> str:
+def _disk_cache_path(max_degree: int, seed: int) -> str | None:
     import os
 
-    d = os.environ.get("QUILL_CRS_CACHE",
-                       os.path.join(os.path.expanduser("~"), ".cache",
-                                    "quill_tpu_crs"))
+    d = _crs_cache_dir()
+    if d is None:
+        return None
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, f"crs_{max_degree}_{seed}.npz")
 
@@ -315,14 +325,15 @@ def cached_trusted_setup(engine, max_degree: int, seed: int = 0) -> KZG:
     if crs is not None:
         return crs
     path = _disk_cache_path(max_degree, seed)
-    crs = _load_crs(path, engine, max_degree)
+    crs = _load_crs(path, engine, max_degree) if path is not None else None
     if crs is None:
         base = KZG.trusted_setup(engine, max_degree, seed=seed)
         crs = KZG(engine, base.max_degree, base.g1_points, base.g2_points,
                   base.g1, base.g2)
-        try:
-            _save_crs(path, crs)
-        except Exception:
-            pass
+        if path is not None:
+            try:
+                _save_crs(path, crs)
+            except Exception:
+                pass
     _SETUP_CACHE[key] = crs
     return crs

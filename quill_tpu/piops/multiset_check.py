@@ -132,10 +132,15 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
 def verify(proof: MultisetEqualityProof, transcript: Transcript, pcs,
            left_h_eval: EvaluationClaim, right_h_eval: EvaluationClaim,
            mode: LookupMode,
-           multiplicities_eval: EvaluationClaim | None = None) -> None:
+           multiplicities_eval: EvaluationClaim | None = None,
+           strict: bool = False) -> None:
     """`MultisetEqualityProof::verify` (`multiset_check.rs:185-294`).
     Assumes the left/right (and multiplicities) evaluation claims are verified
-    separately.  Raises ValueError on failure."""
+    separately.  Raises ValueError on failure.
+
+    strict: enforce the structural sumcheck degree bound.  The batched
+    expression is eq * [denom*(gamma+h) - {1|m}] (+ linear terms): denoms,
+    h-sides and multiplicities are all degree-1 inputs, so the bound is 3."""
     logup_eval_point = transcript.draw_field_element()
 
     transcript.append_g1(proof.denom_left_commitment)
@@ -150,7 +155,8 @@ def verify(proof: MultisetEqualityProof, transcript: Transcript, pcs,
     if proof.sumcheck_proof.claimed_sum % R != 0:
         raise ValueError("Multiset equality sumcheck claimed sum is not zero")
 
-    sc_claim = sumcheck.verify(proof.sumcheck_proof, transcript)
+    sc_claim = sumcheck.verify(proof.sumcheck_proof, transcript,
+                               max_degree=3 if strict else None)
 
     if not pcs.verify(proof.denom_left_commitment,
                       proof.opening_proof_denom_left, transcript):

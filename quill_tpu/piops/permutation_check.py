@@ -52,7 +52,8 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
 
 def verify(proof: PermutationCheckProof, transcript: Transcript, pcs,
            left_h_eval: EvaluationClaim, right_h_eval: EvaluationClaim,
-           id_eval: EvaluationClaim, perm_eval: EvaluationClaim) -> None:
+           id_eval: EvaluationClaim, perm_eval: EvaluationClaim,
+           strict: bool = False) -> None:
     """`PermutationCheckProof::verify` (`permutation_check.rs:61-93`).
     Assumes the four evaluation claims are verified separately."""
     from ..fields.bn254 import R
@@ -69,4 +70,5 @@ def verify(proof: PermutationCheckProof, transcript: Transcript, pcs,
     )
 
     multiset_check.verify(proof.multiset_equality_proof, transcript, pcs,
-                          left_hat, right_hat, LookupMode.EQUALITY, None)
+                          left_hat, right_hat, LookupMode.EQUALITY, None,
+                          strict=strict)

@@ -136,10 +136,12 @@ def prove(store_left: Store, h_left: VirtualRef,
 
 
 def verify(proof: SetInclusionProof, transcript: Transcript, pcs,
-           evals: SetInclusionEvaluationClaims) -> None:
+           evals: SetInclusionEvaluationClaims,
+           strict: bool = False) -> None:
     """`SetInclusionProof::verify` (`set_inclusion.rs:238-347`).  Assumes all
     evaluation claims in `evals` have been checked separately.  Raises
-    ValueError on failure."""
+    ValueError on failure.  strict: bound both sumchecks' round-poly degree
+    at 3 (eq * denom * (gamma+h), all degree-1 inputs)."""
     num_vars_left = len(evals.h_left_sumcheck_claim.point)
     num_vars_right = len(evals.h_right_sumcheck_claim.point)
 
@@ -151,12 +153,15 @@ def verify(proof: SetInclusionProof, transcript: Transcript, pcs,
     z1 = [transcript.draw_field_element() for _ in range(num_vars_left)]
     alpha = transcript.draw_field_element()
 
-    denom_left_claim = sumcheck.verify(proof.sumcheck_proof_left, transcript)
+    denom_left_claim = sumcheck.verify(proof.sumcheck_proof_left, transcript,
+                                       max_degree=3 if strict else None)
 
     z2 = [transcript.draw_field_element() for _ in range(num_vars_right)]
     beta = transcript.draw_field_element()
 
-    denom_right_claim = sumcheck.verify(proof.sumcheck_proof_right, transcript)
+    denom_right_claim = sumcheck.verify(proof.sumcheck_proof_right,
+                                        transcript,
+                                        max_degree=3 if strict else None)
 
     if not pcs.verify(proof.denom_left_commitment,
                       proof.opening_proof_denom_left, transcript):

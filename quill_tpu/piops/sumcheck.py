@@ -159,14 +159,11 @@ def verify(proof: SumcheckProof, transcript: Transcript,
     Compat note: like the reference, the per-round degree of the received
     polynomials is *not* bounds-checked by default (flagged soundness gap,
     SURVEY §7) -- our prover must satisfy the reference verifier and vice
-    versa, so default behavior matches.  Pass `max_degree` (or set
-    QUILL_STRICT_VERIFY=1 with a known bound of 8) to enforce the bound;
-    this is transcript-invisible (the serialized bytes do not change).
+    versa, so default behavior matches.  Pass `max_degree` to enforce the
+    bound; callers (zerocheck / multiset / HyperPlonk) derive it from the
+    circuit's expression degrees under QUILL_STRICT_VERIFY / strict=True.
+    The check is transcript-invisible (serialized bytes do not change).
     """
-    import os
-
-    if max_degree is None and os.environ.get("QUILL_STRICT_VERIFY"):
-        max_degree = 8
     transcript.append_usize(proof.num_vars)
     transcript.append_field(proof.claimed_sum % R)
 

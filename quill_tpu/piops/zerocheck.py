@@ -62,9 +62,12 @@ def prove(store: Store, h: VirtualRef, transcript: Transcript
     return ZeroCheckProof(num_vars=num_vars, sumcheck_proof=sumcheck_proof), claim
 
 
-def verify(proof: ZeroCheckProof, transcript: Transcript) -> EvaluationClaim:
+def verify(proof: ZeroCheckProof, transcript: Transcript,
+           max_degree: int | None = None) -> EvaluationClaim:
     """`ZeroCheckProof::verify` (`zerocheck.rs:51-75`).  Raises ValueError on
-    failure."""
+    failure.  `max_degree` (strict mode): bound on the sumcheck round-poly
+    degree INCLUDING the eq factor; derived by the caller from the circuit
+    expressions."""
     num_vars = proof.num_vars
     random_point = [transcript.draw_field_element() for _ in range(num_vars)]
 
@@ -73,7 +76,8 @@ def verify(proof: ZeroCheckProof, transcript: Transcript) -> EvaluationClaim:
     if proof.sumcheck_proof.num_vars != num_vars:
         raise ValueError("Sumcheck proof num_vars does not match zerocheck num_vars")
 
-    sc_claim = sumcheck.verify(proof.sumcheck_proof, transcript)
+    sc_claim = sumcheck.verify(proof.sumcheck_proof, transcript,
+                               max_degree=max_degree)
     e = eq_eval(random_point, sc_claim.point)
     return EvaluationClaim(
         point=sc_claim.point,

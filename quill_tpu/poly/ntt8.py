@@ -203,7 +203,7 @@ def _ntt_call(variant: str, inverse: bool):
 
     from ..utils.aotcache import aot_wrap
 
-    return aot_wrap(f"ntt8.{variant}.{int(inverse)}", run, deps=('poly', 'fields'))
+    return aot_wrap(f"ntt8.{variant}.{int(inverse)}", run, deps=('poly', 'fields', 'utils/jaxcfg.py'))
 
 
 @functools.lru_cache(maxsize=None)

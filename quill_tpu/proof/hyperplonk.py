@@ -310,11 +310,23 @@ def _recover_zerocheck_expr_evaluation(vk: TraceVK, col_evaluations, alpha) -> i
 
 
 def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
-                        proof: TraceProof, transcript) -> None:
-    """`verify_trace_proof` (`proof.rs:404-491`)."""
+                        proof: TraceProof, transcript,
+                        strict: bool = False) -> None:
+    """`verify_trace_proof` (`proof.rs:404-491`).
+
+    strict: additionally enforce sumcheck round-polynomial degree bounds
+    derived from the circuit (the reference verifier never bounds them,
+    `sumcheck.rs:116-150` -- a flagged soundness gap).  Transcript-invisible
+    either way."""
     alpha = transcript.draw_field_element()
 
-    zc_claim = zerocheck.verify(proof.zero_check_proof, transcript)
+    zc_bound = None
+    if strict:
+        # alpha-batched circuit expressions times the zerocheck eq factor
+        zc_bound = max((e.degree() for e in
+                        vk.circuit.zero_check_expressions()), default=0) + 1
+    zc_claim = zerocheck.verify(proof.zero_check_proof, transcript,
+                                max_degree=zc_bound)
     log2_cols = vk.circuit.num_cols().bit_length() - 1
     log2_rows = vk.circuit.num_rows().bit_length() - 1
 
@@ -327,7 +339,7 @@ def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
 
     permutation_check.verify(
         proof.permutation_check_proof, transcript, pcs,
-        trace_claim, trace_claim, id_claim, perm_claim)
+        trace_claim, trace_claim, id_claim, perm_claim, strict=strict)
 
     col_evaluations = _get_and_verify_column_evaluations(
         vk, pcs, proof, witness_commitment, zc_claim, log2_cols, log2_rows,
@@ -349,18 +361,25 @@ def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
 
 
 def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
-           batch_pairings: bool | None = None) -> None:
+           batch_pairings: bool | None = None,
+           strict: bool | None = None) -> None:
     """`HyperPlonkProof::verify` (`proof.rs:493-522`).  Raises ValueError on
     failure.
 
     batch_pairings (default: env QUILL_BATCH_PAIRINGS, else off): defer all
     KZG pairing checks and settle them in one random-linear-combination
     multi-pairing at the end -- transcript-invisible, ~10x fewer pairings.
+
+    strict (default: env QUILL_STRICT_VERIFY, else off = reference-compat):
+    enforce sumcheck round-polynomial degree bounds derived from the
+    circuit expressions (see `_verify_trace_proof`).
     """
     import os
 
     if batch_pairings is None:
         batch_pairings = bool(os.environ.get("QUILL_BATCH_PAIRINGS"))
+    if strict is None:
+        strict = bool(os.environ.get("QUILL_STRICT_VERIFY"))
 
     transcript = Transcript(DOMAIN)
     for commitment in proof.witness_commitment:
@@ -375,7 +394,8 @@ def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
     try:
         for i in range(len(vk.trace_vks)):
             _verify_trace_proof(proof.witness_commitment[i], vk.trace_vks[i],
-                                pcs, proof.trace_proofs[i], transcript)
+                                pcs, proof.trace_proofs[i], transcript,
+                                strict=strict)
     except Exception:
         if batch_pairings and kzg is not None:
             kzg._deferred = None

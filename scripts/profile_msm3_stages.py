@@ -1,0 +1,106 @@
+"""Stage-granular timing of the msm3 chunk pipeline on one 2^16 chunk
+(B=1): sortg / tree-up levels / lane prefix / cgather / reduction / ctail.
+Each stage is its own AOT dispatch, so per-stage sync gives true costs."""
+import random
+import time
+
+import numpy as np
+
+from quill_tpu.utils.jaxcfg import configure_jax
+
+configure_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from quill_tpu.ec import msm as msm12, msm3  # noqa: E402
+from quill_tpu.ec.fixed_base import device_tau_powers  # noqa: E402
+from quill_tpu.fields.bn254 import R  # noqa: E402
+
+RNG = np.random.default_rng(7)
+
+
+def _sync(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0):
+            np.asarray(jax.lax.slice(leaf, (0,) * leaf.ndim,
+                                     (1,) * leaf.ndim))
+
+
+def t(label, fn, *a, reps=2):
+    out = fn(*a)
+    _sync(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*a)
+        _sync(out)
+        times.append(time.time() - t0)
+    print(f"{label}: {min(times)*1e3:.1f} ms", flush=True)
+    return out
+
+
+def main():
+    n = msm3.CHUNK
+    tau = 123456789123456789 % R
+    xs, ys = device_tau_powers(tau, n)
+    inf = [jnp.zeros((msm12.CHUNK,), bool) for _ in xs]
+    basis = msm12.DeviceBasis(affines=None, x_chunks=xs, y_chunks=ys,
+                              inf_chunks=inf, length=n)
+    basis.tau = tau
+
+    t0 = time.time()
+    sh = msm3.shifted_basis(basis)[0]
+    _sync(sh)
+    print(f"shift (first, fixed-base): {(time.time()-t0)*1e3:.1f} ms",
+          flush=True)
+
+    limbs = RNG.integers(0, 4096, size=(22, n), dtype=np.int32)
+    limbs[21] &= 1
+    scs = jnp.asarray(limbs)[None]  # B=1
+
+    sorted_k, perm, leaves = t("sortg", msm3._k_sortg, scs, sh)
+
+    # tree up levels individually
+    x = leaves
+    levels = [None]
+    i = 0
+    while x.shape[0] > 1:
+        x = t(f"up{i}: {x.shape[0]}x{x.shape[-1]}",
+              msm3._up_call(x.shape[0] // 2, x.shape[-1]), x)
+        levels.append(x)
+        i += 1
+    lane = t("lane prefix (_prefix_cols 5120)", msm3._prefix_cols, x[0])
+
+    # full tree with not-full mode for the real collect input
+    i1 = msm3._tree(leaves, full=False)
+    _sync(i1)
+    t0 = time.time()
+    i1 = msm3._tree(leaves, full=False)
+    _sync(i1)
+    print(f"tree total (full=False): {(time.time()-t0)*1e3:.1f} ms",
+          flush=True)
+
+    acc_s = msm3._ident_cols(1)
+    acc_t = msm3._ident_cols(1)
+    tt, totals = t("cgather", msm3._k_cgather, sorted_k, perm, i1, sh, acc_s)
+    while tt.shape[0] > 1:
+        tt = t(f"red {tt.shape[0]}->", msm3._up_call(tt.shape[0] // 2, 128),
+               tt)
+    t("ctail", msm3._k_ctail, tt, acc_s, acc_t, totals)
+
+    # whole chunk for reference
+    def chunk():
+        return msm3._chunk_run(scs, sh, acc_s, acc_t)
+    t("WHOLE chunk (B=1)", chunk)
+
+    scs4 = jnp.concatenate([scs] * 4, axis=0)
+    acc4 = msm3._ident_cols(4)
+
+    def chunk4():
+        return msm3._chunk_run(scs4, sh, acc4, acc4)
+    t("WHOLE chunk (B=4)", chunk4)
+
+
+if __name__ == "__main__":
+    main()

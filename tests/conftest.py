@@ -7,8 +7,15 @@ must be set before jax is imported anywhere.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if not os.environ.get("QUILL_DEVICE_TESTS"):
+    # FORCE the CPU platform: the interactive shell presets
+    # JAX_PLATFORMS=axon and PYTHONPATH=/root/.axon_site, so a setdefault
+    # would silently run the "host" suite against the one real TPU chip --
+    # and the 8-device-mesh sharding tests would degrade to a 1-device mesh.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

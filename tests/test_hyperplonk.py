@@ -90,6 +90,15 @@ class TestHyperPlonk:
         proof = hp.prove([trace])
         hyperplonk.verify(proof, hp.to_vk(), pcs)
 
+    def test_single_trace_strict_verify(self):
+        """QUILL_STRICT_VERIFY as a first-class flag: honest proofs verify
+        with circuit-derived sumcheck degree bounds enforced."""
+        circuit, trace = get_fibonacci_circuit_and_trace()
+        pcs = make_pcs([circuit])
+        hp = HyperPlonk.preprocess([circuit], pcs)
+        proof = hp.prove([trace])
+        hyperplonk.verify(proof, hp.to_vk(), pcs, strict=True)
+
     def test_multitrace(self):
         """`test_basic_proof.rs:165-196`."""
         c1, t1 = get_fibonacci_circuit_and_trace()

@@ -47,6 +47,20 @@ def test_msm_matches_python():
     assert native_ec.msm(pts, scalars) == _py_msm(pts, scalars)
 
 
+def test_msm_wide_window():
+    """n in [32, 128] exercises the arkworks-style c=ln(n)+2 window sizing
+    and cross-word digit extraction in quill_g1_msm (small-n tests always
+    select c=3 and never cross a 64-bit word boundary)."""
+    for n in (32, 80, 128):
+        pts = _rand_points(n)
+        # repeated and inverse bases stress bucket accumulation
+        pts[1] = pts[0]
+        pts[2] = curve.Affine(pts[0].x, curve.Fq(0) - pts[0].y)
+        scalars = [RNG.randrange(R) for _ in range(n)]
+        scalars[4] = R - 1
+        assert native_ec.msm(pts, scalars) == _py_msm(pts, scalars)
+
+
 def test_msm_with_infinity_points():
     pts = _rand_points(6)
     pts[2] = curve.Affine(curve.Fq(0), curve.Fq(0), infinity=True)

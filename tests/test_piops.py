@@ -78,6 +78,39 @@ class TestSumcheck:
         with pytest.raises(ValueError):
             sumcheck.verify(proof, Transcript(b"t"))
 
+    def test_strict_degree_bound(self):
+        """Strict mode rejects round polynomials above the structural
+        degree bound; lax (reference-compat) mode accepts them -- mirroring
+        the flagged gap at `sumcheck.rs:116-150`."""
+        num_vars = 1  # single round: no later chain check can mask the bound
+        rng = random.Random(2)
+        g = [rng.randrange(R) for _ in range(2)]
+        store = Store(ENGINE, num_vars)
+        ref = store.allocate_polynomial(g)
+        vp = store.new_virtual_from_input(ref)
+        claimed = sum(g) % R
+        proof, _ = sumcheck.prove(num_vars, store, vp, claimed,
+                                  Transcript(b"t"))
+        # honest proof passes in both modes with the true bound (degree 1)
+        sumcheck.verify(proof, Transcript(b"t"), max_degree=1)
+        sumcheck.verify(proof, Transcript(b"t"))
+        # forge an over-degree round poly: add X^2*(X-1) -- q(0)=q(1)=0
+        # keeps the round-sum identity, so ONLY the degree bound catches it
+        from quill_tpu.piops.sumcheck import poly_eval_host
+
+        p0 = list(proof.r_polys[0]) + [0] * (4 - len(proof.r_polys[0]))
+        q = [0, 0, R - 1, 1]  # X^2*(X-1) = X^3 - X^2
+        bad0 = [(a + b) % R for a, b in zip(p0, q)]
+        forged = sumcheck.SumcheckProof(num_vars=proof.num_vars,
+                                        claimed_sum=proof.claimed_sum,
+                                        r_polys=[bad0])
+        assert (poly_eval_host(bad0, 0) + poly_eval_host(bad0, 1)) % R \
+            == proof.claimed_sum % R
+        # lax (reference-compat) mode accepts the forged rounds
+        sumcheck.verify(forged, Transcript(b"t"))
+        with pytest.raises(ValueError):
+            sumcheck.verify(forged, Transcript(b"t"), max_degree=1)
+
     def test_message_degree_matches_structural_degree(self):
         # cubic expression -> round polys have <= 4 coefficients
         num_vars = 2

@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Derive ark-serialize 0.5 byte vectors for tests/fixtures/ark_vectors.json
+WITHOUT a Rust toolchain (none exists in this environment — SURVEY §2.3).
+
+Provenance (the round-1 verdict asked for vendored vectors; the Rust
+generator in ../gen_ark_fixtures has never been runnable here, so these are
+derived from independently published primary sources instead and this file
+documents exactly which):
+
+- BN254 / alt_bn128 parameters: EIP-196 (and ark-bn254 0.5 `curves/bn254`):
+    p  = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+    r  = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    G1 = (1, 2) on y^2 = x^3 + 3.
+  All point coordinates below are computed with textbook affine group-law
+  formulas over Python ints (Fermat inversion) — fully independent of the
+  quill_tpu `ec.curve` implementation under test.
+
+- Field / Vec / usize / DensePolynomial encodings: ark-serialize 0.5 spec —
+  `Fp::serialize_uncompressed` writes the canonical (non-Montgomery) integer
+  as 32 LE bytes; `Vec<T>` writes a u64 LE length prefix then elements;
+  `usize` serializes as u64 LE; `DensePolynomial` serializes its
+  `coeffs: Vec<F>` (its arithmetic strips trailing zero coefficients, so the
+  serialized length is degree+1).
+
+- G1 uncompressed layout + flag bits: ark-ec 0.5
+  `models/short_weierstrass/affine.rs::serialize_with_mode` (Compress::No):
+      x.serialize_uncompressed(w); y.serialize_with_flags(w, flags)
+  with `flags = SWFlags::infinity()` for the identity (x = y = 0) and
+  `SWFlags::from_y_coordinate(y)` otherwise, and
+  `serialization_flags.rs::SWFlags`:
+      YIsPositive = 0, PointAtInfinity = 1 << 6, YIsNegative = 1 << 7
+  OR-ed into the most significant byte (last byte of the 32 LE bytes);
+  `from_y_coordinate` returns YIsNegative iff y > -y as canonical integers.
+
+- Transcript states: the reference transcript scheme
+  (/root/reference/transcript/src/transcript.rs) over blake3.  The blake3
+  implementation used here (quill_tpu.hashing.blake3) is itself pinned
+  byte-for-byte against the official BLAKE3 test vectors
+  (tests/test_hashing_transcript.py), so it serves as an independent oracle
+  for the hash-chain states.
+
+Caveat, stated honestly: these vectors pin the *documented* ark-serialize
+layout, not bytes captured from a live arkworks binary.  If a machine with
+cargo ever becomes available, `cargo run --release` in ../gen_ark_fixtures
+regenerates the same JSON from arkworks itself; any mismatch would override
+this derivation.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+from quill_tpu.hashing.blake3 import blake3_digest, blake3_xof  # noqa: E402
+
+P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+# --- standalone affine BN254 G1 (independent of quill_tpu.ec.curve) --------
+
+INF = None  # point at infinity
+
+
+def add(a, b):
+    if a is INF:
+        return b
+    if b is INF:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if (y1 + y2) % P == 0:
+            return INF
+        lam = (3 * x1 * x1) * pow(2 * y1, P - 2, P) % P
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, P - 2, P) % P
+    x3 = (lam * lam - x1 - x2) % P
+    y3 = (lam * (x1 - x3) - y1) % P
+    return (x3, y3)
+
+
+def mul(k, pt):
+    acc = INF
+    while k:
+        if k & 1:
+            acc = add(acc, pt)
+        pt = add(pt, pt)
+        k >>= 1
+    return acc
+
+
+G = (1, 2)
+assert (G[1] ** 2 - G[0] ** 3 - 3) % P == 0
+assert mul(R, G) is INF  # generator has order r
+
+# --- ark-serialize 0.5 encoders (from the spec quoted in the docstring) ----
+
+
+def ser_u64(n):
+    return int(n).to_bytes(8, "little")
+
+
+def ser_fp(x):
+    return (int(x) % P).to_bytes(32, "little")
+
+
+def ser_fr(x):
+    return (int(x) % R).to_bytes(32, "little")
+
+
+def ser_fr_vec(xs):
+    return ser_u64(len(xs)) + b"".join(ser_fr(x) for x in xs)
+
+
+def ser_dense_poly(cs):
+    cs = list(cs)
+    while cs and cs[-1] % R == 0:
+        cs.pop()
+    return ser_fr_vec(cs)
+
+
+def ser_g1(pt):
+    if pt is INF:
+        y = bytearray(32)
+        y[-1] |= 1 << 6  # SWFlags::PointAtInfinity
+        return bytes(32) + bytes(y)
+    x, y = pt
+    yb = bytearray(ser_fp(y))
+    if y > P - y:  # SWFlags::from_y_coordinate: negative iff y > -y
+        yb[-1] |= 1 << 7
+    return ser_fp(x) + bytes(yb)
+
+
+# --- transcript trace (reference transcript.rs scheme over blake3) ---------
+
+
+def main():
+    vec = {}
+    vec["usize_3"] = ser_u64(3).hex()
+    vec["fr_0"] = ser_fr(0).hex()
+    vec["fr_1"] = ser_fr(1).hex()
+    vec["fr_minus_1"] = ser_fr(R - 1).hex()
+    big = int.from_bytes(bytes([0xAB] * 48), "little") % R
+    vec["fr_big"] = ser_fr(big).hex()
+    vec["fr_vec"] = ser_fr_vec([1, 2]).hex()
+    vec["dense_poly"] = ser_dense_poly([5, 0, 7, 0]).hex()
+
+    g2 = mul(2, G)
+    neg_g = (G[0], P - G[1])
+    vec["g1_gen"] = ser_g1(G).hex()
+    vec["g1_2g"] = ser_g1(g2).hex()
+    vec["g1_neg_g"] = ser_g1(neg_g).hex()
+    vec["g1_identity"] = ser_g1(add(G, neg_g)).hex()
+    vec["g1_7g"] = ser_g1(mul(7, G)).hex()
+
+    state = blake3_digest(b"fixture_domain")
+    vec["transcript_state0"] = state.hex()
+    state = blake3_digest(state + ser_fr(1))
+    vec["transcript_state1"] = state.hex()
+    challenge = blake3_xof(state + b"challenge", 48)
+    vec["transcript_challenge"] = challenge.hex()
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "..", "tests", "fixtures", "ark_vectors.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(vec, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
