@@ -46,7 +46,7 @@ def bench_msm(log2n: int):
     from quill_tpu.ec.fixed_base import device_tau_powers
     from quill_tpu.fields.bn254 import R
 
-    impl = os.environ.get("QUILL_MSM_IMPL", "4")
+    impl = os.environ.get("QUILL_MSM_IMPL", "3")
     if impl == "4":
         from quill_tpu.ec import msm4 as msm_run
     elif impl == "3":

@@ -72,8 +72,12 @@ NUM_BUCKETS = msm12.NUM_BUCKETS
 
 S = 256                    # in-lane tree height (leaf rows per lane)
 LOG2_S = 8
-_MT = 128                  # lanes per up-sweep grid step (VMEM bound)
-_LANE_BLK = 4096           # lanes per lane-scan grid step
+_MT = 512                  # lanes per up-sweep grid step: 4 sublane blocks
+#                            per op (vs 1 at 128) -- the tree adds are tiny
+#                            sequential ops, so sublane occupancy is the
+#                            throughput lever; VMEM = ~86 MB double-buffered
+_LANE_BLK = 128            # lanes per lane-scan grid step (ladder width)
+_LOG2_LANE_BLK = 7
 
 # super-chunk size: CRS chunks fused into one pipeline pass, scaled down
 # for batched MSMs to bound device memory (flat bf16 leaves + node levels)
@@ -314,6 +318,8 @@ def _up_fused_call(m_len: int):
             in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM), in_spec],
             out_specs=out_specs,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
             interpret=p8._interpret(),
         )(pack, leaves)
 
@@ -337,11 +343,36 @@ def _xadd3(a, b, spec, n):
     return jnp.concatenate(out, axis=0)
 
 
-def _lane_scan_kernel(blk, c_ref, t_ref, o_ref, sv):
+@functools.lru_cache(maxsize=1)
+def _shift_mats() -> np.ndarray:
+    """(LOG2_LANE_BLK + 1, blk, blk) stacked 0/1 matrices: for t < 7,
+    y = x @ M[t] moves column j to column j + 2^t (columns < 2^t land on
+    zero); M[7] broadcasts the LAST column to every lane.  One-hot rows
+    with f32 accumulation keep the products exact for normal-form bf16
+    limb inputs (same MXU trick as sumcheck8's parity split).  These also
+    replace the kernel's column concats/offset slices, which Mosaic
+    rejects ("result/input offset mismatch on non-concat dimension")."""
+    blk = _LANE_BLK
+    mats = np.zeros((_LOG2_LANE_BLK + 1, blk, blk), dtype=np.float32)
+    for t in range(_LOG2_LANE_BLK):
+        sh = 1 << t
+        for j in range(blk - sh):
+            mats[t, j, j + sh] = 1.0
+    mats[_LOG2_LANE_BLK, blk - 1, :] = 1.0
+    return mats
+
+
+def _lane_scan_kernel(c_ref, m_ref, t_ref, o_ref, sv):
     """Lane totals (3L, blk) bf16 per grid step -> exclusive prefixes
     (3L, blk) bf16; scratch (3L, 1-tile) carries the running offset point
-    across sequential grid steps."""
+    across sequential grid steps.
+
+    The inclusive ladder is a `fori_loop` whose body shifts via the stacked
+    0/1 matrices (m_ref) on the MXU -- ONE traced point-add body instead of
+    log2(blk) unrolled ones (the unrolled form produced a 9 MB StableHLO
+    module that OOM-killed the remote TPU compile helper)."""
     spec = p8.unpack_spec(f8.FQ8.modulus, c_ref[:])
+    blk = _LANE_BLK
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -357,45 +388,59 @@ def _lane_scan_kernel(blk, c_ref, t_ref, o_ref, sv):
                                   jnp.float32) for i in range(L)], axis=0)
         return jnp.concatenate([zero, one, zero], axis=0)
 
-    # in-block inclusive ladder; identity-prepend instead of masking
-    # (identity is absorbing under the complete addition)
-    incl = t_ref[:].astype(jnp.float32)          # (3L, blk)
-    sh = 1
-    while sh < blk:
-        shifted = jnp.concatenate([ident_flat(sh), incl[:, :-sh]], axis=1)
-        incl = _xadd3(incl, shifted, spec, blk)
-        sh *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    ident = ident_flat(blk)
 
-    # exclusive shift + carried offset
-    excl = jnp.concatenate([ident_flat(1), incl[:, :-1]], axis=1)
-    off = sv[:][:, 0, 0:1]                        # (3L, 1)
-    with_off = _xadd3(excl, jnp.broadcast_to(off, (L3, blk)), spec, blk)
+    def ladder(t, incl):
+        # shifted[:, j] = incl[:, j - 2^t] for j >= 2^t, identity below
+        nf = f8.normal_form(incl).astype(jnp.bfloat16)
+        moved = jnp.dot(nf, m_ref[t], preferred_element_type=jnp.float32)
+        shifted = jnp.where(lane < (1 << t), ident, moved)
+        return _xadd3(incl, shifted, spec, blk)
+
+    incl = jax.lax.fori_loop(0, _LOG2_LANE_BLK, ladder,
+                             t_ref[:].astype(jnp.float32))
+
+    # exclusive shift (shift-by-1 = ladder matrix 0) + carried offset
+    nf_incl = f8.normal_form(incl).astype(jnp.bfloat16)
+    moved1 = jnp.dot(nf_incl, m_ref[0], preferred_element_type=jnp.float32)
+    excl = jnp.where(lane < 1, ident, moved1)
+    off_b = jnp.broadcast_to(sv[:][:, 0, 0:1], (L3, blk))
+    with_off = _xadd3(excl, off_b, spec, blk)
     o_ref[:] = f8.normal_form(with_off).astype(jnp.bfloat16)
 
-    # update carry: offset += block total (incl[last])
-    new_off = _xadd3(off, incl[:, -1:], spec, 1)
-    sv[:] = jnp.broadcast_to(new_off[:, :, None], (L3, 1, 128))
+    # update carry: offset += block total, via the broadcast-last matrix
+    # (every lane of the scratch holds the same point)
+    last_b = jnp.dot(nf_incl, m_ref[_LOG2_LANE_BLK],
+                     preferred_element_type=jnp.float32)
+    new_off = _xadd3(off_b, last_b, spec, blk)
+    sv[:] = new_off.reshape(L3, 1, blk)
 
 
 @functools.lru_cache(maxsize=None)
 def _lane_scan_call(m_len: int):
     pack = p8.consts_pack(f8.FQ8.modulus)
-    blk = min(_LANE_BLK, m_len)
+    blk = _LANE_BLK
+    assert m_len % blk == 0
     grid = (m_len // blk,)
     spec = pl.BlockSpec((L3, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((_LOG2_LANE_BLK + 1, blk, blk),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
 
     def run(totals):
         return pl.pallas_call(
-            functools.partial(_lane_scan_kernel, blk),
+            _lane_scan_kernel,
             out_shape=jax.ShapeDtypeStruct((L3, m_len), jnp.bfloat16),
             grid=grid,
             in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM), spec],
+                                   memory_space=pltpu.VMEM), mspec, spec],
             out_specs=spec,
             scratch_shapes=[pltpu.VMEM((L3, 1, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=p8._interpret(),
-        )(pack, totals)
+        )(pack, jnp.asarray(_shift_mats()).astype(jnp.bfloat16), totals)
 
     return aot_wrap(f"msm4.lanescan{m_len}", run, deps=EC_KDEPS)
 
@@ -419,56 +464,84 @@ def _collect_fn(sorted_k, perm, base_cat, lane_excl, levels, acc_s, acc_t):
         k = 0  -> the sorted LEAF at flat position (lane*S + (r & ~1)),
                   fetched straight from the shifted basis via perm;
         k >= 1 -> level (k-1) node (r >> k is odd; index (r >> k) // 2).
-    """
+
+    Control flow is rolled (lax.map over batches, lax.scan over tree
+    levels and over the bucket reduction) so the program holds ~5 traced
+    point-add bodies: the fully-unrolled version inflated to ~700k HLO
+    instructions after call inlining, which the remote TPU compile helper
+    could not hold in memory (SIGKILL)."""
     spec = f8.FQ8
     nb = acc_s.shape[-1]
     m = NUM_BUCKETS - 1
     per = base_cat.shape[-1]
-    nq = nb * m + nb
-    base = jnp.arange(nb, dtype=jnp.int32)[:, None] * NUM_BUCKETS
-    q_buckets = (base + jnp.arange(m, dtype=jnp.int32)[None, :]).reshape(-1)
-    queries = jnp.concatenate([q_buckets, base[:, 0] + m])
-    pos = jnp.searchsorted(sorted_k, queries, side="right") - 1
-    ok = pos >= 0
-    pos_c = jnp.maximum(pos, 0)
-    lane = pos_c // S
-    r = pos_c % S + 1
+    nq = NUM_BUCKETS  # per batch: buckets 0..m-1, then b = m == E_m (total)
 
-    ident = msm3._ident_cols(nq)
-    acc = lane_excl[:, lane].astype(jnp.float32)
+    # flatten the level arrays: row offset of level k-1 in the 255-row pack
+    lvl_flat = jnp.concatenate(
+        [lv for lv in levels], axis=0)           # (255, 3L, m_len)
+    offs = []
+    o = 0
+    for k in range(LOG2_S):
+        offs.append(o)
+        o += S >> (k + 1)
+    lvl_offs = jnp.asarray(offs, dtype=jnp.int32)           # (8,)
+    shifts = jnp.arange(1, LOG2_S + 1, dtype=jnp.int32)     # k = 1..8
 
-    # leaf contribution (bit 0 of r)
-    leaf_flat = lane * S + (r & ~1)
-    lp = perm[leaf_flat] % per
-    lxy = base_cat[:, lp].astype(jnp.float32)
     one = jnp.broadcast_to(
         jnp.asarray(spec.one_mont, jnp.float32)[:, None], (L, nq))
-    leaf_pt = jnp.concatenate([lxy[:L], lxy[L:], one], axis=0)
-    use = (r & 1) == 1
-    term = jnp.where(use[None, :], leaf_pt, ident)
-    acc = _xadd(acc, term, spec)
+    ident = msm3._ident_cols(nq)
 
-    # level nodes (bits 1..8 of r): the aligned block for bit k starts at
-    # a = (r >> (k+1)) << (k+1), so the level-(k-1) node index is a / 2^k
-    for k in range(1, LOG2_S + 1):
-        idx = (r >> (k + 1)) * 2
-        node = levels[k - 1][idx, :, lane].T.astype(jnp.float32)
-        use = ((r >> k) & 1) == 1
-        term = jnp.where(use[None, :], node, ident)
-        acc = _xadd(acc, term, spec)
+    def per_batch(bi):
+        q = bi * NUM_BUCKETS + jax.lax.iota(jnp.int32, nq)
+        pos = jnp.searchsorted(sorted_k, q, side="right") - 1
+        ok = pos >= 0
+        pos_c = jnp.maximum(pos, 0)
+        lane = pos_c // S
+        r = pos_c % S + 1
 
-    vals = jnp.where(ok[None, :], acc, ident)
+        acc = lane_excl[:, lane].astype(jnp.float32)
 
-    totals = vals[:, nb * m:]
-    bv = vals[:, :nb * m].reshape(L3, nb, m)
-    # log-depth reduction over the m bucket-end prefixes per batch
-    width = m + 1  # 8192, power of two after identity pad
-    pad = jnp.broadcast_to(msm3._ident_cols(nb)[:, :, None], (L3, nb, 1))
-    red = jnp.concatenate([bv, pad], axis=2)
-    while red.shape[2] > 1:
-        h = red.shape[2] // 2
-        red = _xadd(red[:, :, :h], red[:, :, h:], spec)
-    return (_xadd(acc_s, red[:, :, 0], spec),
+        # leaf contribution (bit 0 of r)
+        leaf_flat = lane * S + (r & ~1)
+        lp = perm[leaf_flat] % per
+        lxy = base_cat[:, lp].astype(jnp.float32)
+        leaf_pt = jnp.concatenate([lxy[:L], lxy[L:], one], axis=0)
+        use = (r & 1) == 1
+        acc = _xadd(acc, jnp.where(use[None, :], leaf_pt, ident), spec)
+
+        # level nodes (bits 1..8 of r): the aligned block for bit k starts
+        # at a = (r >> (k+1)) << (k+1) -> level-(k-1) node index a / 2^k
+        def level_step(acc, ko):
+            k, off = ko
+            idx = off + (r >> (k + 1)) * 2
+            node = lvl_flat[idx, :, lane].T.astype(jnp.float32)
+            use = ((r >> k) & 1) == 1
+            return _xadd(acc, jnp.where(use[None, :], node, ident),
+                         spec), 0
+
+        acc, _ = jax.lax.scan(level_step, acc, (shifts, lvl_offs))
+        return jnp.where(ok[None, :], acc, ident)            # (3L, nq)
+
+    vals = jax.lax.map(per_batch, jnp.arange(nb, dtype=jnp.int32))
+    vals = jnp.transpose(vals, (1, 0, 2))                    # (3L, nb, nq)
+
+    totals = vals[:, :, m]                                   # (3L, nb)
+    # bucket-prefix sum: mask the b = m slot to identity, then a two-stage
+    # rolled reduction (64x128 block scan, then 128-column scan)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nq), 2)
+    ident_nb1 = jnp.broadcast_to(msm3._ident_cols(nb)[:, :, None],
+                                 (L3, nb, nq))
+    bv = jnp.where(col == m, ident_nb1, vals)
+    g = nq // 128
+    bv4 = jnp.moveaxis(bv.reshape(L3, nb, g, 128), 2, 0)     # (g, 3L, nb, 128)
+
+    def sum_step(acc, x):
+        return _xadd(acc, x, spec), 0
+
+    acc128, _ = jax.lax.scan(sum_step, ident_nb1[:, :, :128], bv4)
+    cols = jnp.moveaxis(acc128, 2, 0)                        # (128, 3L, nb)
+    red, _ = jax.lax.scan(sum_step, msm3._ident_cols(nb), cols)
+    return (_xadd(acc_s, red, spec),
             _xadd(acc_t, totals, spec))
 
 
@@ -488,11 +561,24 @@ def msm_device_batch(basis: msm12.DeviceBasis, batch_chunks: list) -> list:
     """B independent MSMs over one CRS basis.  Super-chunks of
     NSC//ceil(B/..) CRS chunks run the 6-dispatch fused pipeline; per-batch
     (sum, total) accumulators combine across super-chunks; one host
-    finalize (`msm3._finalize_host`)."""
+    finalize (`msm3._finalize_host`).
+
+    Shape standardization: every TPU kernel here costs minutes of (cached)
+    compile per distinct shape, so the pipeline only ever runs TWO shape
+    families -- (nb=1, nsc=NSC) and (nb=NSC, nsc=1), both with
+    NSC*W*CHUNK/S lanes.  Batches are padded to NSC MSMs with empty
+    scalar lists and chunk counts round up to a multiple of nsc; padding
+    scalars are zero, land in bucket 0 and cancel in the telescoped
+    combine, and padded chunk slots reuse shifted-basis chunk 0 as an
+    inert dummy."""
     sh = shifted_affine_basis(basis)
+    true_nb = len(batch_chunks)
+    if true_nb > 1 and true_nb < NSC:
+        batch_chunks = batch_chunks + [[]] * (NSC - true_nb)
     nb = len(batch_chunks)
-    nch = max(len(c) for c in batch_chunks)
     nsc = max(1, NSC // max(1, nb))
+    nch = max(len(c) for c in batch_chunks)
+    nch = max(nsc, -(-nch // nsc) * nsc)
     zero = None
     acc_s = msm3._ident_cols(nb)
     acc_t = msm3._ident_cols(nb)
@@ -508,7 +594,8 @@ def msm_device_batch(basis: msm12.DeviceBasis, batch_chunks: list) -> list:
                         zero = jnp.zeros((22, CHUNK), jnp.int32)
                     parts.append(zero)
         scs = jnp.stack(parts, axis=0).reshape(nb, len(js), 22, CHUNK)
-        base_cat = jnp.concatenate([sh[j] for j in js], axis=1)
+        base_cat = jnp.concatenate(
+            [sh[j] if j < len(sh) else sh[0] for j in js], axis=1)
         keys = _k_keys(scs)
         sorted_k, perm, leaves = _k_sortg(keys, base_cat)
         levels = _up_fused_call(leaves.shape[-1])(leaves)
@@ -516,7 +603,7 @@ def msm_device_batch(basis: msm12.DeviceBasis, batch_chunks: list) -> list:
             levels[-1].reshape(L3, -1))
         acc_s, acc_t = _k_collect(sorted_k, perm, base_cat, lane_excl,
                                   levels, acc_s, acc_t)
-    return msm3._finalize_host(acc_s, acc_t)
+    return msm3._finalize_host(acc_s, acc_t)[:true_nb]
 
 
 load_basis = msm12.load_basis

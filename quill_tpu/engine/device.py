@@ -386,6 +386,35 @@ class TpuEngine:
 
         return os.environ.get("QUILL_SUMCHECK_IMPL", "8") == "8"
 
+    @staticmethod
+    def _sc8_max() -> int:
+        """Largest table length the stacked 8-bit sumcheck state may hold.
+        The Stacked8 buffer is n_slots * 132 B/elem and the fused round
+        double-buffers it, so huge tables (the 2^24-cell permutation phase
+        of a 2^22-row trace) run their first rounds through the chunked
+        12-bit path (streams chunk pairs, no monolithic buffer) until they
+        shrink under this bound."""
+        import os
+
+        return 1 << int(os.environ.get("QUILL_SC8_MAX_LOG2", "22"))
+
+    # -- host spill (HBM relief for huge traces) ----------------------------
+
+    def spill_vec(self, v) -> None:
+        """Move a DVec's chunks to host numpy IN PLACE (device buffers are
+        freed when the last reference drops).  Aliases of the DVec (proving
+        key, witness lists) all observe the spill; `unspill_vec` restores
+        device residency before the next device use.  No-op for host
+        vectors."""
+        if isinstance(v, DVec) and v.chunks and not isinstance(
+                v.chunks[0], np.ndarray):
+            v.chunks = [np.asarray(c) for c in v.chunks]
+
+    def unspill_vec(self, v) -> None:
+        if isinstance(v, DVec) and v.chunks and isinstance(
+                v.chunks[0], np.ndarray):
+            v.chunks = [jnp.asarray(c) for c in v.chunks]
+
     def vec_from_ints(self, xs):
         n = len(xs)
         if n < CHUNK:
@@ -616,8 +645,11 @@ class TpuEngine:
                     new_tables[i] = new8[i]
                 return new_tables, msgs
             if (entries and all(isinstance(t, DVec) for t in entries)
-                    and length // 2 >= sc8.MIN_TABLE):
-                # caller skipped sumcheck_begin: build the stacked state now
+                    and sc8.MIN_TABLE <= length // 2
+                    and length <= self._sc8_max()):
+                # DVec entry (sumcheck_begin skipped, or the table was too
+                # big for the stacked state and has folded down through the
+                # chunked 12-bit path): build the stacked state now
                 st = sc8.build_stacked([tables[i] for i in used])
                 tabs8 = {i: SlotView(st=st, slot=s)
                          for s, i in enumerate(used)}
@@ -673,7 +705,8 @@ class TpuEngine:
         if self._impl8() and used:
             entries = [tables[i] for i in used]
             if (all(isinstance(t, DVec) for t in entries)
-                    and entries[0].length >= sc8.MIN_TABLE):
+                    and sc8.MIN_TABLE <= entries[0].length
+                    <= self._sc8_max()):
                 views, msgs = sc8.begin8({i: tables[i] for i in used},
                                          expr, degree)
                 new_tables = list(tables)
@@ -691,7 +724,8 @@ class TpuEngine:
                 return sc8.messages8({i: tables[i] for i in used}, expr,
                                      degree)
             if (all(isinstance(t, DVec) for t in entries)
-                    and entries[0].length >= sc8.MIN_TABLE):
+                    and sc8.MIN_TABLE <= entries[0].length
+                    <= self._sc8_max()):
                 st = sc8.build_stacked([tables[i] for i in used])
                 tabs8 = {i: SlotView(st=st, slot=s)
                          for s, i in enumerate(used)}

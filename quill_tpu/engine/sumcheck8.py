@@ -69,9 +69,11 @@ from ..fields import device as fd12  # noqa: E402
 from ..fields import device8 as f8  # noqa: E402
 
 # kernel-lowering dependency set for the AOT cache (host-side engine
-# orchestration must not invalidate these exports)
-ENG_KDEPS = ('engine/sumcheck8.py', 'engine/device.py', 'fields',
-             'utils/jaxcfg.py')
+# orchestration must not invalidate these exports).  engine/device.py is
+# deliberately NOT listed: this module never imports it and no lowered
+# kernel here depends on its contents -- keeping it out lets engine
+# orchestration edits keep the multi-minute sc8 exports warm.
+ENG_KDEPS = ('engine/sumcheck8.py', 'fields', 'utils/jaxcfg.py')
 from ..fields import pallas8 as p8  # noqa: E402
 
 L = f8.L

@@ -105,16 +105,24 @@ class ShardedEngine:
         return isinstance(v, SVec)
 
     def vec_from_ints(self, xs):
+        """Physical width is padded with zeros to a multiple of the mesh
+        size (the element sharding must divide evenly); `length` stays the
+        true count.  Zero padding is inert for every whole-array op that
+        runs on padded vectors (elementwise field ops, lazy-limb sums,
+        MSM scalars); structural ops (reverse, irregular slices) take the
+        exact host path."""
         xs = list(xs)
         if len(xs) < self.min_device_size:
             return self.host.vec_from_ints(xs)
-        raw = jax.device_put(
-            jnp.asarray(ints_to_limbs([int(x) % R for x in xs])), self._sh)
+        pad = (-len(xs)) % self.ndev
+        limbs = ints_to_limbs([int(x) % R for x in xs] + [0] * pad)
+        raw = jax.device_put(jnp.asarray(limbs), self._sh)
         return SVec(arr=self._jit_to_mont()(raw), length=len(xs))
 
     def _demote(self, v: SVec):
         canon = self._jit_from_mont()(v.arr)
-        return self.host.vec_from_ints(limbs_to_ints(np.asarray(canon)))
+        ints = limbs_to_ints(np.asarray(canon))[:v.length]
+        return self.host.vec_from_ints(ints)
 
     def _promote(self, v):
         if isinstance(v, SVec):
@@ -148,32 +156,39 @@ class ShardedEngine:
                 return self.host.pad(v, n)
         if v.length >= n:
             return v
-        arr = jax.device_put(
-            jnp.pad(v.arr, ((0, 0), (0, n - v.length))), self._sh)
+        phys = v.arr.shape[-1]
+        target = n + ((-n) % self.ndev)
+        if target > phys:
+            arr = jax.device_put(
+                jnp.pad(v.arr, ((0, 0), (0, target - phys))), self._sh)
+        else:
+            arr = v.arr  # existing physical padding is already zero
         return SVec(arr=arr, length=n)
 
     def reverse(self, v):
+        # structural op on possibly-padded storage: exact host round-trip
+        # (ShardedEngine's univariate tails are host-side by design)
         if not isinstance(v, SVec):
             return self.host.reverse(v)
-        return SVec(arr=jax.device_put(v.arr[:, ::-1], self._sh),
-                    length=v.length)
+        return self._promote(self.host.reverse(self._demote(v)))
 
     def slice(self, v, start: int, stop: int):
         if not isinstance(v, SVec):
             return self.host.slice(v, start, stop)
+        if start == 0 and stop == v.length:
+            return v
+        host = self.host.slice(self._demote(v), start, stop)
         if stop - start < self.min_device_size:
-            host = self._demote(v)
-            return self.host.slice(host, start, stop)
-        return SVec(arr=jax.device_put(v.arr[:, start:stop], self._sh),
-                    length=stop - start)
+            return host
+        return self._promote(host)
 
     def concat(self, vs):
         if not any(isinstance(v, SVec) for v in vs):
             return self.host.concat(vs)
-        parts = [self._promote(v) for v in vs]
-        arr = jax.device_put(
-            jnp.concatenate([p.arr for p in parts], axis=1), self._sh)
-        return SVec(arr=arr, length=sum(p.length for p in parts))
+        parts = []
+        for v in vs:
+            parts.extend(int(x) for x in self.vec_to_ints(v))
+        return self.vec_from_ints(parts)
 
     # ---- elementwise field ops ----------------------------------------------
 
@@ -222,6 +237,11 @@ class ShardedEngine:
         return self._binop("mul", a, b)
 
     def add_scalar(self, v, c: int):
+        # NOTE: applies to the physical width, so it taints zero padding on
+        # non-mesh-multiple lengths.  All protocol tables that reach
+        # add_scalar are power-of-two sized (no padding on a power-of-two
+        # mesh); odd-length vectors only occur on the host-tail univariate
+        # paths (S-polynomials), which never route here.
         if not isinstance(v, SVec):
             return self.host.add_scalar(v, c)
         return SVec(arr=self._jit_scalar("add")(
@@ -235,21 +255,39 @@ class ShardedEngine:
 
     # ---- reductions (blockwise int32 partials, exact host combine) ----------
 
+    def _bs_for(self, n: int) -> int:
+        """Block size for the (L, nb, bs) partial-sum layout: bs must
+        divide n and nb = n // bs must be a multiple of ndev so the block
+        axis carries the element sharding (each shard's elements stay in
+        its own blocks).  Powers of two throughout in practice."""
+        bs = min(_SUM_BLOCK, max(1, n // self.ndev))
+        while bs > 1 and (n % bs or (n // bs) % self.ndev):
+            bs //= 2
+        return bs
+
+    def _psb(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, "x", None))
+
+    def _reshape_blocks(self, x, nb: int, bs: int):
+        """(L, n)@x -> (L, nb, bs) with the block axis sharded (explicit
+        out_sharding: the auto-sharding of a split reshape is ambiguous)."""
+        return jax.lax.reshape(x, (L, nb, bs), out_sharding=self._psb())
+
     @lru_cache(maxsize=None)
-    def _jit_block_sums(self):
+    def _jit_block_sums(self, bs: int):
         def f(x):
             n = x.shape[-1]
-            bs = min(_SUM_BLOCK, n)
-            return jnp.sum(x.reshape(L, n // bs, bs), axis=2)  # (22, nb)
+            return jnp.sum(self._reshape_blocks(x, n // bs, bs), axis=2)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
-    def _jit_inner_blocks(self):
+    def _jit_inner_blocks(self, bs: int):
         def f(a, b):
             h = fd.mont_mul(a, b, SPEC)
             n = h.shape[-1]
-            bs = min(_SUM_BLOCK, n)
-            return jnp.sum(h.reshape(L, n // bs, bs), axis=2)
+            return jnp.sum(self._reshape_blocks(h, n // bs, bs), axis=2)
         return jax.jit(f)
 
     @staticmethod
@@ -259,30 +297,30 @@ class ShardedEngine:
 
         return _lazy_to_int(np.asarray(blocks, dtype=np.int64).sum(axis=1))
 
-    def _pad_block(self, arr: jnp.ndarray) -> jnp.ndarray:
-        n = arr.shape[-1]
-        bs = min(_SUM_BLOCK, n)
-        padded = (-n) % bs
-        if padded:
-            arr = jnp.pad(arr, ((0, 0), (0, padded)))
-        return arr
-
     def vsum(self, v) -> int:
         if not isinstance(v, SVec):
             return self.host.vsum(v)
-        blocks = self._jit_block_sums()(self._pad_block(v.arr))
+        n = v.arr.shape[-1]
+        bs = self._bs_for(n)
+        if n % bs or (n // bs) % self.ndev:
+            return self.host.vsum(self._demote(v))  # irregular length
+        blocks = self._jit_block_sums(bs)(v.arr)
         return self._lazy_blocks_to_int(np.asarray(blocks))
 
     def inner(self, a, b) -> int:
         if not (isinstance(a, SVec) or isinstance(b, SVec)):
             return self.host.inner(a, b)
-        n = min(self.vec_len(a), self.vec_len(b))
-        a = self.slice(self._promote(a), 0, n)
-        b = self.slice(self._promote(b), 0, n)
-        if not isinstance(a, SVec):
-            return self.host.inner(a, self.vec_to_ints(b))
-        blocks = self._jit_inner_blocks()(self._pad_block(a.arr),
-                                          self._pad_block(b.arr))
+        la, lb = self.vec_len(a), self.vec_len(b)
+        if la != lb:
+            # arkworks zip semantics over the min length; irregular -- host
+            return self.host.inner(self.vec_to_ints(a), self.vec_to_ints(b))
+        a = self._promote(a)
+        b = self._promote(b)
+        n = a.arr.shape[-1]  # physical width; zero padding contributes 0
+        bs = self._bs_for(n)
+        if n % bs or (n // bs) % self.ndev:
+            return self.host.inner(self._demote(a), self._demote(b))
+        blocks = self._jit_inner_blocks(bs)(a.arr, b.arr)
         return self._lazy_blocks_to_int(np.asarray(blocks))
 
     def batch_inverse(self, v):
@@ -316,7 +354,7 @@ class ShardedEngine:
         dev_tables = {i: self._promote(tables[i]).arr for i in used}
         key, const_vals = expr.key()
         consts = self._consts_arr(const_vals)
-        fn = self._jit_eval_expr(key, tuple(used))
+        fn = self._jit_eval_expr(key, tuple(used))(expr)
         out = fn(consts, *[dev_tables[i] for i in used])
         return SVec(arr=out, length=size)
 
@@ -348,12 +386,18 @@ class ShardedEngine:
             return self._demote(sv)
         return sv
 
+    def _pairs(self, arr):
+        """(L, n)@x -> (lo, hi) halves of the LSB-pair decomposition, each
+        (L, n/2) block-sharded (adjacent pairs never cross shards: the mesh
+        axis maps to HIGH index bits)."""
+        pairs = jax.lax.reshape(arr, (L, arr.shape[-1] // 2, 2),
+                                out_sharding=self._psb())
+        return pairs[..., 0], pairs[..., 1]
+
     @lru_cache(maxsize=None)
     def _jit_fold(self):
         def f(arr, r):
-            pairs = arr.reshape(L, arr.shape[-1] // 2, 2)
-            lo = pairs[..., 0]
-            hi = pairs[..., 1]
+            lo, hi = self._pairs(arr)
             return fd.add(lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
                                           fd.sub(hi, lo, SPEC), SPEC), SPEC)
         return jax.jit(f, out_shardings=self._sh)
@@ -400,13 +444,12 @@ class ShardedEngine:
         t_consts = [jnp.asarray(_mont_const(t)) for t in range(degree + 1)]
         lows, highs = [], []
         for a in arrs:
-            pairs = a.reshape(L, a.shape[-1] // 2, 2)
-            lows.append(pairs[..., 0])
-            highs.append(pairs[..., 1])
+            lo, hi = self._pairs(a)
+            lows.append(lo)
+            highs.append(hi)
         outs = []
         n2 = lows[0].shape[-1]
-        bs = min(_SUM_BLOCK, n2)
-        pad = (-n2) % bs
+        bs = self._bs_for(n2)
         for t in range(degree + 1):
             tab = {}
             for i, lo, hi in zip(used, lows, highs):
@@ -414,9 +457,8 @@ class ShardedEngine:
                 tc = jnp.broadcast_to(t_consts[t], diff.shape)
                 tab[i] = fd.add(lo, fd.mont_mul(tc, diff, SPEC), SPEC)
             h = _emit(expr, tab, consts, [0])
-            if pad:
-                h = jnp.pad(h, ((0, 0), (0, pad)))
-            outs.append(jnp.sum(h.reshape(L, (n2 + pad) // bs, bs), axis=2))
+            outs.append(jnp.sum(self._reshape_blocks(h, n2 // bs, bs),
+                                axis=2))
         return jnp.stack(outs, axis=0)   # (T, 22, nb)
 
     @lru_cache(maxsize=None)
@@ -437,9 +479,7 @@ class ShardedEngine:
             def f(consts, r, *arrs):
                 folded = []
                 for a in arrs:
-                    pairs = a.reshape(L, a.shape[-1] // 2, 2)
-                    lo = pairs[..., 0]
-                    hi = pairs[..., 1]
+                    lo, hi = self._pairs(a)
                     folded.append(fd.add(
                         lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
                                         fd.sub(hi, lo, SPEC), SPEC), SPEC))
@@ -472,12 +512,21 @@ class ShardedEngine:
     # ---- curve ops ------------------------------------------------------------
 
     def load_points(self, affines: list):
+        """Affine CRS -> mesh-sharded basis.  The point count is padded to a
+        multiple of the mesh size with identity points (inf mask true) so the
+        element sharding divides evenly -- an MSM absorbs identities, so the
+        padding is algebraically invisible (`parallel/msm.py` masks by
+        `inf`).  `length` stays the true count."""
+        from ..ec import curve
         from ..ec.device import host_affine_to_device
 
         n = len(affines)
         if n < self.min_device_size:
             return self.host.load_points(affines)
-        bx, by, inf = host_affine_to_device(affines)
+        pad = (-n) % self.ndev
+        padded = list(affines) + [
+            curve.Affine(curve.Fq(0), curve.Fq(0), infinity=True)] * pad
+        bx, by, inf = host_affine_to_device(padded)
         to_m = jax.jit(lambda v: fd.to_mont(v, fd.FQ), out_shardings=self._sh)
         return SBasis(bx=to_m(jax.device_put(jnp.asarray(bx), self._sh)),
                       by=to_m(jax.device_put(jnp.asarray(by), self._sh)),
@@ -490,14 +539,23 @@ class ShardedEngine:
         return NamedSharding(self.mesh, P("x"))
 
     def basis_slice(self, basis, n: int):
+        """Logical slice: the physical point arrays are never cut (slicing a
+        sharded axis to a non-divisible size is ill-defined).  MSMs instead
+        zero-pad the scalar vector to the physical width -- a zero scalar
+        contributes only to bucket 0, which the telescoped combine cancels
+        (`parallel/msm.py`), so trailing basis points are inert."""
         if not isinstance(basis, SBasis):
             return self.host.basis_slice(basis, n)
         if n == basis.length:
             return basis
-        return SBasis(bx=jax.device_put(basis.bx[:, :n], self._sh),
-                      by=jax.device_put(basis.by[:, :n], self._sh),
-                      inf=jax.device_put(basis.inf[:n], self._sh_flat()),
+        return SBasis(bx=basis.bx, by=basis.by, inf=basis.inf,
                       affines=basis.affines[:n], length=n)
+
+    @lru_cache(maxsize=None)
+    def _jit_pad_to(self, width: int):
+        def f(x):
+            return jnp.pad(x, ((0, 0), (0, width - x.shape[-1])))
+        return jax.jit(f, out_shardings=self._sh)
 
     def msm(self, basis, scalars):
         dev_basis = isinstance(basis, SBasis)
@@ -507,10 +565,11 @@ class ShardedEngine:
             return self.host.msm(affs[:len(host_sc)],
                                  [int(s) for s in host_sc])
         sv = self._promote(scalars)
-        n = min(sv.length, basis.length)
-        basis = self.basis_slice(basis, n)
-        sc_canon = self._jit_from_mont()(
-            self.slice(sv, 0, n).arr if n != sv.length else sv.arr)
+        assert sv.length <= basis.length, "MSM scalar vector exceeds basis"
+        sc_canon = self._jit_from_mont()(sv.arr)
+        width = basis.bx.shape[-1]
+        if sc_canon.shape[-1] != width:
+            sc_canon = self._jit_pad_to(width)(sc_canon)
         return pmsm.sharded_msm(self.mesh, sc_canon, basis.bx, basis.by,
                                 basis.inf)
 

@@ -43,6 +43,20 @@ LIMB_BITS = 12
 SCALAR_BITS = 254
 
 
+@functools.lru_cache(maxsize=1)
+def _jit_pt_add():
+    """Trace-once complete addition: `ed.pt_add` emits ~40 field-op call
+    eqns per use, and this module's programs use it at ~35 sites -- raw
+    inlining put the XLA CPU compile of the sharded Pippenger at ~5 min
+    per process.  A jit wrapper turns every same-shape use into one call
+    eqn (identical compiled code)."""
+    return jax.jit(ed.pt_add)
+
+
+def _pt_add(p1: tuple, p2: tuple) -> tuple:
+    return _jit_pt_add()(p1, p2)
+
+
 def pick_window_bits(n_local: int) -> int:
     """arkworks-style window sizing (ln(n) + 2), clamped to [4, 13]."""
     c = int(np.log(max(n_local, 2)) + 2)
@@ -69,40 +83,50 @@ def _digits(scalars: jnp.ndarray, c: int) -> list:
 
 
 def _pt_prefix_scan(p: tuple) -> tuple:
-    """Inclusive point-prefix scan along the element axis (log-depth
-    Hillis-Steele ladder of complete additions, full width per step)."""
+    """Inclusive point-prefix scan along the element axis.
+
+    Rolled Hillis-Steele ladder: a `fori_loop` whose body rolls the array
+    by the (dynamic) step shift and masks the wrapped head to the identity
+    point -- ONE traced point-add body.  The unrolled ladder put the XLA
+    CPU compile of the sharded Pippenger at ~5 minutes per process (the
+    optimizer inlines every add body)."""
     n = p[0].shape[-1]
-    idx = jax.lax.iota(jnp.int32, n)
-    ident = ed.pt_identity((1,))
-    v = p
-    sh = 1
-    while sh < n:
+    idx = jax.lax.iota(jnp.int32, n)[None, :]
+    ident = tuple(jnp.broadcast_to(i, (fd.L, n))
+                  for i in ed.pt_identity((1,)))
+    steps = max(1, (n - 1).bit_length())
+
+    def ladder(t, v):
+        sh = 1 << t
         shifted = tuple(
-            jnp.concatenate([jnp.broadcast_to(i, (fd.L, sh)), c[:, :-sh]],
-                            axis=1)
+            jnp.where(idx < sh, i, jnp.roll(c, sh, axis=1))
             for i, c in zip(ident, v))
-        comb = ed.pt_add(v, shifted)
-        keep = (idx >= sh)[None, :]
-        v = tuple(jnp.where(keep, cc, cv) for cc, cv in zip(comb, v))
-        sh *= 2
-    return v
+        comb = _pt_add(v, shifted)
+        keep = idx >= sh
+        return tuple(jnp.where(keep, cc, cv)
+                     for cc, cv in zip(comb, v))
+
+    return jax.lax.fori_loop(0, steps, ladder, p)
 
 
-def _pt_tree_sum(p: tuple) -> tuple:
-    """Pairwise-tree point sum over the element axis -> (22, 1) coords."""
-    v = p
-    n = v[0].shape[-1]
-    while n > 1:
-        if n % 2:
-            ident = ed.pt_identity((1,))
-            v = tuple(jnp.concatenate([c, jnp.broadcast_to(i, (fd.L, 1))],
-                                      axis=1) for c, i in zip(v, ident))
-            n += 1
-        half = n // 2
-        v = ed.pt_add(tuple(c[:, :half] for c in v),
-                      tuple(c[:, half:] for c in v))
-        n = half
-    return v
+def _pt_col_sum(p: tuple) -> tuple:
+    """Point sum over the element axis -> (22, 1) coords, as a rolled scan
+    over columns (widths here are <= 2^c buckets; sequential adds inside
+    one compiled program are cheap, unrolled trees are not)."""
+    cols = jnp.stack([jnp.moveaxis(c, -1, 0) for c in p], axis=1)
+    # cols: (n, 3, 22) -> scan over n.  The identity carry is derived from
+    # the (device-varying) operands so its vma type matches under
+    # shard_map (same trick as local_pippenger's initial accumulator).
+    zero1 = p[0][:, :1] * 0
+    ident = (zero1, zero1 + jnp.asarray(fd.FQ.one_mont, jnp.int32)[:, None],
+             zero1)
+
+    def step(acc, col):
+        return _pt_add(acc, (col[0][:, None], col[1][:, None],
+                             col[2][:, None])), 0
+
+    acc, _ = jax.lax.scan(step, ident, cols)
+    return acc
 
 
 def local_pippenger(scalars: jnp.ndarray, bx: jnp.ndarray, by: jnp.ndarray,
@@ -132,19 +156,16 @@ def local_pippenger(scalars: jnp.ndarray, bx: jnp.ndarray, by: jnp.ndarray,
         gathered = tuple(
             jnp.where(ok[None, :], cc, jnp.broadcast_to(i, cc.shape))
             for cc, i in zip(gathered, ident1))
-        neg_sum = _pt_tree_sum(gathered)
+        neg_sum = _pt_col_sum(gathered)
         total = tuple(cc[:, -1:] for cc in pref)               # E_m
         # m * E_m = 2^c * E_m - E_m (c doublings instead of double-and-add)
-        acc_t = total
-        for _ in range(c):
-            acc_t = ed.pt_add(acc_t, acc_t)
-        return ed.pt_add(ed.pt_add(acc_t, ed.pt_neg(total)),
-                         ed.pt_neg(neg_sum))
+        acc_t = jax.lax.fori_loop(0, c, lambda _, a: _pt_add(a, a), total)
+        return _pt_add(_pt_add(acc_t, ed.pt_neg(total)),
+                       ed.pt_neg(neg_sum))
 
     def body(acc, dig):
-        for _ in range(c):
-            acc = ed.pt_add(acc, acc)
-        acc = ed.pt_add(acc, window_sum(dig))
+        acc = jax.lax.fori_loop(0, c, lambda _, a: _pt_add(a, a), acc)
+        acc = _pt_add(acc, window_sum(dig))
         return acc, jnp.zeros((), jnp.int32)
 
     # the initial carry must be device-varying under shard_map (vma typing):

@@ -181,15 +181,16 @@ class KZG:
 
     def open_many(self, polys_xs: list) -> list:
         """Batch of openings [(poly, x), ...] with no transcript events in
-        between: quotients sequentially, then ALL quotient commitments as
-        one fused multi-MSM (engine.msm_many).  Proof objects are
-        byte-identical to sequential `open` calls."""
+        between: ALL quotients in one stacked device pass
+        (`engine/quotient.py`: 2*nch fused dispatches + one host sync for
+        the whole batch, vs per-chunk syncs per opening), then ALL quotient
+        commitments as one fused multi-MSM (engine.msm_many).  Proof
+        objects are byte-identical to sequential `open` calls."""
         from ..utils.profiling import phase
 
         ys, qs = [], []
         with phase("kzg/quotient"):
-            for poly, x in polys_xs:
-                y, q = self.engine.quotient_by_linear(poly, x)
+            for y, q in self._quotients(polys_xs):
                 ys.append(y)
                 qs.append(q)
         with phase("kzg/open_msm"):
@@ -199,6 +200,29 @@ class KZG:
                  for q in qs])
         return [KZGOpeningProof(x=x % R, y=y, proof=c)
                 for (_, x), y, c in zip(polys_xs, ys, comms)]
+
+    def _quotients(self, polys_xs: list) -> list:
+        """(y, q) per opening, input order.  Device DVec jobs with equal
+        chunk counts and x != 0 batch through
+        `engine.quotient.quotient_many_device`; everything else falls back
+        to per-job `engine.quotient_by_linear` (identical results)."""
+        results: list = [None] * len(polys_xs)
+        groups: dict = {}
+        for i, (poly, x) in enumerate(polys_xs):
+            chunks = getattr(poly, "chunks", None)
+            if chunks is not None and int(x) % R != 0:
+                groups.setdefault(len(chunks), []).append(i)
+            else:
+                results[i] = self.engine.quotient_by_linear(poly, x)
+        if groups:
+            from ..engine.quotient import quotient_many_device
+
+            for idxs in groups.values():
+                outs = quotient_many_device(
+                    self.engine, [polys_xs[i] for i in idxs])
+                for i, out in zip(idxs, outs):
+                    results[i] = out
+        return results
 
     def commit_many(self, polys: list) -> list:
         """Batch of commitments with no transcript events in between, as

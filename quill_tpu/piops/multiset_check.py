@@ -61,10 +61,10 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     with phase("multiset/log_derivative_tables"):
         h_left_evals = store.eval_expr_table(h_left)
         h_right_evals = store.eval_expr_table(h_right)
-        denom_left = engine.batch_inverse(
-            engine.add_scalar(h_left_evals, logup_eval_point))
-        denom_right = engine.batch_inverse(
-            engine.add_scalar(h_right_evals, logup_eval_point))
+        u_left = engine.add_scalar(h_left_evals, logup_eval_point)
+        u_right = engine.add_scalar(h_right_evals, logup_eval_point)
+        denom_left = engine.batch_inverse(u_left)
+        denom_right = engine.batch_inverse(u_right)
 
     if mode == LookupMode.SUBSET:
         assert multiplicities is not None, \
@@ -87,14 +87,22 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     denom_left_ref = store.allocate_polynomial(denom_left)
     denom_right_ref = store.allocate_polynomial(denom_right)
 
-    # zerocheck expr, same tree shape as `multiset_check.rs:128-140`
+    # The reference's zerocheck expr re-derives (gamma + h) from the h-side
+    # input tables every round (`multiset_check.rs:128-140`); we feed the
+    # ALREADY-MATERIALIZED u = gamma + h tables (built above for the batch
+    # inversion) into the sumcheck instead.  Per-point values are identical
+    # field elements, so every round message -- and hence the transcript --
+    # is unchanged; the round kernels just read 1 fused table per side
+    # instead of re-evaluating the h expression (for the permutation check
+    # that is id/perm + alpha*witness) at every interpolation node.
+    u_left_ref = store.allocate_polynomial(u_left)
+    u_right_ref = store.allocate_polynomial(u_right)
     m_expr = (store.get_expr(multiplicities) if mode == LookupMode.SUBSET
               else Const(1))
     zerocheck_expr = (
-        denom_left_ref.to_expr() * (Const(logup_eval_point) + store.get_expr(h_left))
+        denom_left_ref.to_expr() * u_left_ref.to_expr()
         - Const(1)
-        + Const(lam) * (denom_right_ref.to_expr()
-                        * (Const(logup_eval_point) + store.get_expr(h_right))
+        + Const(lam) * (denom_right_ref.to_expr() * u_right_ref.to_expr()
                         - m_expr)
     )
 
@@ -107,6 +115,22 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     store.mul_const_in_place(h_hat, alpha)
     store.add_in_place(h_hat, denom_left_ref)
     store.sub_in_place(h_hat, denom_right_ref)
+
+    # HBM relief for huge traces (the rows*cols permutation phase of a
+    # 2^22-row trace is 2^24 cells): the batched sumcheck only reads
+    # {denom_l, denom_r, u_l, u_r, eq}, so the h-side input tables
+    # (witness / id / perm) can sit in host RAM until the openings.  The
+    # caller (proof/hyperplonk.py) un-spills what it opens afterwards.
+    import os as _os
+
+    spill = getattr(engine, "spill_vec", None)
+    if (spill is not None and num_vars
+            >= int(_os.environ.get("QUILL_SPILL_MIN_VARS", "23"))):
+        used = set(store.get_expr(h_hat).used_inputs())
+        with phase("multiset/spill"):
+            for idx, vec in enumerate(store.polynomials):
+                if idx not in used:
+                    spill(vec)
 
     with phase("multiset/sumcheck"):
         sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0,

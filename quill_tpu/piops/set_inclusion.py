@@ -66,10 +66,10 @@ def prove(store_left: Store, h_left: VirtualRef,
 
     h_left_evals = store_left.eval_expr_table(h_left)
     h_right_evals = store_right.eval_expr_table(h_right)
-    denom_left = engine.batch_inverse(
-        engine.add_scalar(h_left_evals, logup_eval_point))
-    denom_right = engine.batch_inverse(
-        engine.add_scalar(h_right_evals, logup_eval_point))
+    u_left = engine.add_scalar(h_left_evals, logup_eval_point)
+    u_right = engine.add_scalar(h_right_evals, logup_eval_point)
+    denom_left = engine.batch_inverse(u_left)
+    denom_right = engine.batch_inverse(u_right)
     mult_evals = store_right.eval_expr_table(multiplicities)
     denom_right = engine.mul(denom_right, mult_evals)
 

@@ -107,6 +107,19 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
     for i in used:
         tables[i] = store.polynomials[i]
 
+    # Huge traces: drop the store's references to the input tables so the
+    # full-size originals free as soon as the first fold replaces them
+    # (the local `tables` list is the only owner afterwards).  Callers
+    # never reuse sumcheck inputs through the store after proving -- the
+    # denominators a multiset check opens later are separate locals.  Only
+    # applied at sizes where HBM is the binding constraint.
+    import os as _os
+
+    if (num_vars >= int(_os.environ.get("QUILL_SC_RELEASE_MIN_VARS", "23"))
+            and hasattr(engine, "spill_vec")):
+        for i in used:
+            store.polynomials[i] = None
+
     output_r_polys: list[list[int]] = []
     evaluation_point: list[int] = []
 

@@ -10,9 +10,10 @@ returned points.  Transcript event order matches the reference exactly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from ..fields.bn254 import R
+from ..piops import lookup as lookup_piop
 from ..piops import permutation_check, zerocheck
 from ..piops.virtual_poly import Const, Store
 from ..transcript.transcript import Transcript
@@ -20,6 +21,39 @@ from ..utils.profiling import phase
 from .circuit import Circuit
 
 DOMAIN = b"hyperplonk_proof"
+
+
+@dataclass
+class CrossTableLookup:
+    """Cross-table lookup argument: every row-tuple of `src_cols` in trace
+    `src_trace` must appear among the row-tuples of `dst_cols` in trace
+    `dst_trace`.
+
+    Growth beyond reference parity: the reference ships the lookup PIOP
+    (`/root/reference/hyperplonk/src/piops/lookup.rs`) but never wires it
+    into the HyperPlonk proof ("cross-table lookups" unchecked in
+    `/root/reference/README.md:21`).  Column indices refer to witness
+    columns; the two traces may have different row counts (set-inclusion
+    over different hypercube sizes)."""
+
+    src_trace: int
+    src_cols: list[int]
+    dst_trace: int
+    dst_cols: list[int]
+
+
+@dataclass
+class CrossTableLookupProof:
+    """Proof material for one `CrossTableLookup`: the multiplicities
+    commitment (bound to the transcript BEFORE the logup challenge is
+    drawn), the lookup PIOP proof, and the openings that discharge the
+    per-column evaluation claims against the trace witness commitments."""
+
+    multiplicities_commitment: object
+    lookup_proof: lookup_piop.LookupProof
+    src_openings: list
+    dst_openings: list
+    multiplicities_opening: object
 
 
 @dataclass
@@ -37,10 +71,12 @@ class TraceProof:
 
 @dataclass
 class HyperPlonkProof:
-    """`HyperPlonkProof` (`proof.rs:27-30`)."""
+    """`HyperPlonkProof` (`proof.rs:27-30`), extended with the cross-table
+    lookup section (empty when no lookups are configured)."""
 
     witness_commitment: list
     trace_proofs: list[TraceProof]
+    lookup_proofs: list[CrossTableLookupProof] = field(default_factory=list)
 
 
 @dataclass
@@ -59,14 +95,19 @@ class TracePK:
 
     id_poly: object          # engine vec, rows*cols cells
     permutation_poly: object
-    public_values: list      # engine vecs, padded to rows*cols
+    public_values: list      # retained for API parity with `proof.rs:50-54`;
+    # held as None here -- the prover re-derives public columns from the
+    # circuit (`circuit.public_values()`), and keeping rows*cols-padded
+    # device vectors alive would idle-hold O(trace) HBM per trace
 
 
 @dataclass
 class HyperPlonkVK:
-    """`HyperPlonkVK` (`proof.rs:56-58`)."""
+    """`HyperPlonkVK` (`proof.rs:56-58`), plus the cross-table lookup
+    configuration (statement-level, fixed at preprocess time)."""
 
     trace_vks: list[TraceVK]
+    lookups: list[CrossTableLookup] = field(default_factory=list)
 
 
 @dataclass
@@ -79,10 +120,12 @@ class TraceWitness:
 class HyperPlonk:
     """`HyperPlonk { trace_vks, trace_pks }` (`proof.rs:12-15`)."""
 
-    def __init__(self, trace_vks: list[TraceVK], trace_pks: list[TracePK], pcs):
+    def __init__(self, trace_vks: list[TraceVK], trace_pks: list[TracePK], pcs,
+                 lookups: list[CrossTableLookup] | None = None):
         self.trace_vks = trace_vks
         self.trace_pks = trace_pks
         self.pcs = pcs
+        self.lookups = list(lookups or [])
 
     # -- preprocess ---------------------------------------------------------
 
@@ -117,21 +160,34 @@ class HyperPlonk:
                      id_commitment=id_commitment,
                      permutation_commitment=permutation_commitment)
         pk = TracePK(id_poly=id_vec, permutation_poly=perm_vec,
-                     public_values=public_values)
+                     public_values=None)
         return pk, vk
 
     @staticmethod
-    def preprocess(circuits: list[Circuit], pcs) -> "HyperPlonk":
-        """`preprocess` (`proof.rs:124-137`)."""
+    def preprocess(circuits: list[Circuit], pcs,
+                   lookups: list[CrossTableLookup] | None = None
+                   ) -> "HyperPlonk":
+        """`preprocess` (`proof.rs:124-137`), plus validation of the
+        cross-table lookup configuration."""
         pks, vks = [], []
         for circuit in circuits:
             pk, vk = HyperPlonk._preprocess_trace(circuit, pcs)
             pks.append(pk)
             vks.append(vk)
-        return HyperPlonk(trace_vks=vks, trace_pks=pks, pcs=pcs)
+        for lk in (lookups or []):
+            assert len(lk.src_cols) == len(lk.dst_cols) > 0, \
+                "Lookup column lists must be non-empty and the same length"
+            for t, cols in ((lk.src_trace, lk.src_cols),
+                            (lk.dst_trace, lk.dst_cols)):
+                assert 0 <= t < len(circuits), "Lookup trace index out of range"
+                assert all(0 <= c < circuits[t].num_cols() for c in cols), \
+                    "Lookup column index out of range"
+        return HyperPlonk(trace_vks=vks, trace_pks=pks, pcs=pcs,
+                          lookups=lookups)
 
     def to_vk(self) -> HyperPlonkVK:
-        return HyperPlonkVK(trace_vks=list(self.trace_vks))
+        return HyperPlonkVK(trace_vks=list(self.trace_vks),
+                            lookups=list(self.lookups))
 
     # -- prove --------------------------------------------------------------
 
@@ -176,6 +232,14 @@ class HyperPlonk:
                 store2, witness_virtual, witness_virtual,
                 pk.id_poly, pk.permutation_poly, transcript, pcs)
 
+        # the huge-trace multiset sumcheck may have spilled the h-side
+        # tables to host RAM (`multiset_check.prove`); the openings below
+        # need them device-resident again
+        unspill = getattr(engine, "unspill_vec", None)
+        if unspill is not None:
+            for vec in (full_witness, pk.id_poly, pk.permutation_poly):
+                unspill(vec)
+
         # witness openings at the zero-check point extended with column bits
         # (`proof.rs:202-210`)
         openings_zero_check = []
@@ -211,6 +275,82 @@ class HyperPlonk:
             opening_id=opening_id,
             opening_permutation=opening_permutation,
             opening_permutation_trace=opening_permutation_trace,
+        )
+
+    def _prove_lookup(self, lk: CrossTableLookup,
+                      witness_traces: list[TraceWitness], full_traces,
+                      transcript: Transcript) -> CrossTableLookupProof:
+        """One cross-table lookup argument.  Transcript event order (ours to
+        define -- the reference never wires lookups in):
+          1. multiplicities commitment (before the logup challenge draw);
+          2. the lookup PIOP (`lookup.rs:28-83` event order);
+          3. source-column openings of the source trace witness (column
+             order), destination-column openings, multiplicities opening.
+        The prover does NOT pre-check inclusion: a witness violating the
+        lookup yields an honest proof that fails verification (same posture
+        as the reference's multiset tests, `multiset_check.rs:404`)."""
+        pcs = self.pcs
+        engine = pcs.engine
+        src_circ = self.trace_vks[lk.src_trace].circuit
+        dst_circ = self.trace_vks[lk.dst_trace].circuit
+        src_cols = [witness_traces[lk.src_trace].columns[c]
+                    for c in lk.src_cols]
+        dst_cols = [witness_traces[lk.dst_trace].columns[c]
+                    for c in lk.dst_cols]
+        n_src, n_dst = src_circ.num_rows(), dst_circ.num_rows()
+
+        # multiplicities: count each source tuple at its FIRST matching
+        # destination row (duplicate destination tuples carry zero)
+        first_at: dict = {}
+        for j in range(n_dst):
+            key = tuple(col[j] % R for col in dst_cols)
+            first_at.setdefault(key, j)
+        mult = [0] * n_dst
+        for i in range(n_src):
+            key = tuple(col[i] % R for col in src_cols)
+            j = first_at.get(key)
+            if j is not None:
+                mult[j] += 1
+
+        src_store = Store(engine, n_src.bit_length() - 1)
+        dst_store = Store(engine, n_dst.bit_length() - 1)
+        src_refs = [src_store.new_virtual_from_input(
+            src_store.allocate_polynomial(col)) for col in src_cols]
+        dst_refs = [dst_store.new_virtual_from_input(
+            dst_store.allocate_polynomial(col)) for col in dst_cols]
+        mult_vec = engine.vec_from_ints(mult)
+        mult_ref = dst_store.new_virtual_from_input(
+            dst_store.allocate_polynomial(mult))
+
+        mult_commitment = pcs.commit(mult_vec)
+        transcript.append_g1(mult_commitment)
+
+        with phase("prove/lookup_piop"):
+            lk_proof, points = lookup_piop.prove(
+                src_store, src_refs, dst_store, dst_refs, mult_ref,
+                transcript, pcs)
+
+        log2_cols_src = src_circ.num_cols().bit_length() - 1
+        log2_cols_dst = dst_circ.num_cols().bit_length() - 1
+        with phase("prove/lookup_openings"):
+            src_openings = [
+                pcs.open(full_traces[lk.src_trace],
+                         _extend_point(points.left, c, log2_cols_src),
+                         transcript)
+                for c in lk.src_cols]
+            dst_openings = [
+                pcs.open(full_traces[lk.dst_trace],
+                         _extend_point(points.right, c, log2_cols_dst),
+                         transcript)
+                for c in lk.dst_cols]
+            mult_opening = pcs.open(mult_vec, points.right, transcript)
+
+        return CrossTableLookupProof(
+            multiplicities_commitment=mult_commitment,
+            lookup_proof=lk_proof,
+            src_openings=src_openings,
+            dst_openings=dst_openings,
+            multiplicities_opening=mult_opening,
         )
 
     def prove(self, witness_traces: list[TraceWitness]) -> HyperPlonkProof:
@@ -250,11 +390,26 @@ class HyperPlonk:
                 trace_witness.columns, full_traces[i], transcript,
                 self.trace_pks[i], self.trace_vks[i].circuit))
 
+        lookup_proofs = [self._prove_lookup(lk, witness_traces, full_traces,
+                                            transcript)
+                         for lk in self.lookups]
+
         return HyperPlonkProof(witness_commitment=trace_commitments,
-                               trace_proofs=trace_proofs)
+                               trace_proofs=trace_proofs,
+                               lookup_proofs=lookup_proofs)
 
 
 # -- verification ------------------------------------------------------------
+
+
+def _extend_point(point: list[int], col: int, log2_cols: int) -> list[int]:
+    """Row-variable point extended with the column-index bits (LSB first),
+    selecting column `col` of the column-major flattened trace
+    (`proof.rs:204-207` layout)."""
+    out = list(point)
+    for i in range(log2_cols):
+        out.append((col >> i) & 1)
+    return out
 
 
 def _verify_opening(comm, proof, expected_point, expected_num_vars, pcs,
@@ -360,6 +515,65 @@ def _verify_trace_proof(witness_commitment, vk: TraceVK, pcs,
         raise ValueError("Permutation trace commitment opening verification failed")
 
 
+def _verify_lookup(lk: CrossTableLookup, lkp: CrossTableLookupProof,
+                   vk: HyperPlonkVK, witness_commitments, pcs,
+                   transcript) -> None:
+    """Mirror of `HyperPlonk._prove_lookup`: replay the transcript events in
+    the same order, building the per-column claims from the proof's opening
+    objects (verified right after, the `_verify_trace_proof` pattern)."""
+    from ..pcs import EvaluationClaim
+
+    src_circ = vk.trace_vks[lk.src_trace].circuit
+    dst_circ = vk.trace_vks[lk.dst_trace].circuit
+    log2_rows_src = src_circ.num_rows().bit_length() - 1
+    log2_rows_dst = dst_circ.num_rows().bit_length() - 1
+    log2_cols_src = src_circ.num_cols().bit_length() - 1
+    log2_cols_dst = dst_circ.num_cols().bit_length() - 1
+
+    if (len(lkp.src_openings) != len(lk.src_cols)
+            or len(lkp.dst_openings) != len(lk.dst_cols)):
+        raise ValueError("Lookup opening count mismatch")
+
+    transcript.append_g1(lkp.multiplicities_commitment)
+
+    # claim stems: the row-variable prefixes of the opening points
+    def stem(opening, log2_rows, log2_cols, col):
+        pt = opening.point()
+        if len(pt) != log2_rows + log2_cols:
+            raise ValueError("Lookup opening point length mismatch")
+        if pt != _extend_point(pt[:log2_rows], col, log2_cols):
+            raise ValueError("Lookup opening column bits mismatch")
+        return pt[:log2_rows]
+
+    src_stems = [stem(op, log2_rows_src, log2_cols_src, c)
+                 for op, c in zip(lkp.src_openings, lk.src_cols)]
+    dst_stems = [stem(op, log2_rows_dst, log2_cols_dst, c)
+                 for op, c in zip(lkp.dst_openings, lk.dst_cols)]
+
+    mult_claim = lkp.multiplicities_opening.evaluation_claim()
+    if len(mult_claim.point) != log2_rows_dst:
+        raise ValueError("Lookup multiplicities point length mismatch")
+
+    claims = lookup_piop.LookupEvaluationClaims(
+        source_claims=[EvaluationClaim(point=s, evaluation=op.evaluation)
+                       for s, op in zip(src_stems, lkp.src_openings)],
+        dests_claims=[EvaluationClaim(point=s, evaluation=op.evaluation)
+                      for s, op in zip(dst_stems, lkp.dst_openings)],
+        multiplicities_claim=mult_claim,
+    )
+    lookup_piop.verify(lkp.lookup_proof, transcript, pcs, claims)
+
+    for op in lkp.src_openings:
+        if not pcs.verify(witness_commitments[lk.src_trace], op, transcript):
+            raise ValueError("Lookup source opening verification failed")
+    for op in lkp.dst_openings:
+        if not pcs.verify(witness_commitments[lk.dst_trace], op, transcript):
+            raise ValueError("Lookup destination opening verification failed")
+    if not pcs.verify(lkp.multiplicities_commitment,
+                      lkp.multiplicities_opening, transcript):
+        raise ValueError("Lookup multiplicities opening verification failed")
+
+
 def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
            batch_pairings: bool | None = None,
            strict: bool | None = None) -> None:
@@ -387,6 +601,8 @@ def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
 
     if len(vk.trace_vks) != len(proof.trace_proofs):
         raise ValueError("Number of trace VKS and proofs mismatch")
+    if len(vk.lookups) != len(proof.lookup_proofs):
+        raise ValueError("Number of lookup configs and proofs mismatch")
 
     kzg = getattr(pcs, "kzg", None)
     if batch_pairings and kzg is not None:
@@ -396,6 +612,9 @@ def verify(proof: HyperPlonkProof, vk: HyperPlonkVK, pcs,
             _verify_trace_proof(proof.witness_commitment[i], vk.trace_vks[i],
                                 pcs, proof.trace_proofs[i], transcript,
                                 strict=strict)
+        for lk, lkp in zip(vk.lookups, proof.lookup_proofs):
+            _verify_lookup(lk, lkp, vk, proof.witness_commitment, pcs,
+                           transcript)
     except Exception:
         if batch_pairings and kzg is not None:
             kzg._deferred = None

@@ -14,7 +14,8 @@ import io
 from ..ec import curve
 from ..pcs.kzg import KZGOpeningProof
 from ..pcs.mlpcs import MLEvalProof
-from ..piops import multiset_check, permutation_check, sumcheck, zerocheck
+from ..piops import (lookup, multiset_check, permutation_check, set_inclusion,
+                     sumcheck, zerocheck)
 from ..proof import hyperplonk
 from ..transcript import serialize as ser
 
@@ -147,6 +148,29 @@ def serialize_proof(proof: hyperplonk.HyperPlonkProof) -> bytes:
         _w_mleval(buf, tp.opening_id)
         _w_mleval(buf, tp.opening_permutation)
         _w_mleval(buf, tp.opening_permutation_trace)
+    if not proof.lookup_proofs:
+        # omit the lookup section entirely: proofs without cross-table
+        # lookups keep the round-1 wire bytes (deterministic hashes in
+        # .claude/skills/verify/SKILL.md stay valid); the reader treats
+        # EOF as zero lookups
+        return buf.getvalue()
+    _w_usize(buf, len(proof.lookup_proofs))
+    for lp in proof.lookup_proofs:
+        _w_g1(buf, lp.multiplicities_commitment)
+        si = lp.lookup_proof.set_inclusion_proof
+        _w_g1(buf, si.denom_left_commitment)
+        _w_g1(buf, si.denom_right_commitment)
+        _w_sumcheck(buf, si.sumcheck_proof_left)
+        _w_sumcheck(buf, si.sumcheck_proof_right)
+        _w_mleval(buf, si.opening_proof_denom_left)
+        _w_mleval(buf, si.opening_proof_denom_right)
+        _w_usize(buf, len(lp.src_openings))
+        for op in lp.src_openings:
+            _w_mleval(buf, op)
+        _w_usize(buf, len(lp.dst_openings))
+        for op in lp.dst_openings:
+            _w_mleval(buf, op)
+        _w_mleval(buf, lp.multiplicities_opening)
     return buf.getvalue()
 
 
@@ -175,5 +199,29 @@ def deserialize_proof(data: bytes) -> hyperplonk.HyperPlonkProof:
             opening_permutation=_r_mleval(buf),
             opening_permutation_trace=_r_mleval(buf),
         ))
+    lookup_proofs = []
+    raw_count = buf.read(8)
+    n_lookups = int.from_bytes(raw_count, "little") if len(raw_count) == 8 \
+        else 0
+    for _ in range(n_lookups):
+        mult_comm = _r_g1(buf)
+        si = set_inclusion.SetInclusionProof(
+            denom_left_commitment=_r_g1(buf),
+            denom_right_commitment=_r_g1(buf),
+            sumcheck_proof_left=_r_sumcheck(buf),
+            sumcheck_proof_right=_r_sumcheck(buf),
+            opening_proof_denom_left=_r_mleval(buf),
+            opening_proof_denom_right=_r_mleval(buf),
+        )
+        src_openings = [_r_mleval(buf) for _ in range(_r_usize(buf))]
+        dst_openings = [_r_mleval(buf) for _ in range(_r_usize(buf))]
+        lookup_proofs.append(hyperplonk.CrossTableLookupProof(
+            multiplicities_commitment=mult_comm,
+            lookup_proof=lookup.LookupProof(set_inclusion_proof=si),
+            src_openings=src_openings,
+            dst_openings=dst_openings,
+            multiplicities_opening=_r_mleval(buf),
+        ))
     return hyperplonk.HyperPlonkProof(witness_commitment=commitments,
-                                      trace_proofs=trace_proofs)
+                                      trace_proofs=trace_proofs,
+                                      lookup_proofs=lookup_proofs)

@@ -133,6 +133,23 @@ class TestUnivariate:
         got = [int(v) for v in eng.vec_to_ints(dq)][:len(a) - 1]
         assert got == [int(v) for v in hq]
 
+    def test_quotient_many_batched(self, engines, data):
+        """Stacked open_many quotient pass (`engine/quotient.py`) ==
+        per-job quotient_by_linear, across mixed polys/points."""
+        from quill_tpu.engine.quotient import quotient_many_device
+
+        eng, host = engines
+        a, b = data
+        da, db = eng.vec_from_ints(a), eng.vec_from_ints(b)
+        xs = [55555555555 % R, 123456789123456789 % R, R - 7]
+        jobs = [(da, xs[0]), (da, xs[1]), (db, xs[0]), (db, xs[2])]
+        outs = quotient_many_device(eng, jobs)
+        for (poly, x), (y, q) in zip(jobs, outs):
+            y2, q2 = eng.quotient_by_linear(poly, x)
+            assert y == y2
+            assert ([int(v) for v in eng.vec_to_ints(q)]
+                    == [int(v) for v in eng.vec_to_ints(q2)])
+
     def test_s_polynomial_one_ntt(self, engines, data):
         """Device s_polynomial (single product, `ipa.rs:122-157` values)
         vs the generic two-product host path; includes a mismatched-length

@@ -147,6 +147,94 @@ class TestHyperPlonk:
             hyperplonk.verify(proof, hp.to_vk(), pcs)
 
 
+def get_square_table_pair(bad_row: int | None = None):
+    """Source trace (a, a^2) rows looked up in a destination table trace
+    (v, v^2).  With `bad_row`, the source uses a consistent (a, a^2) pair
+    that is NOT in the table (check_constraints passes; only the lookup
+    argument can catch it)."""
+    table = TransitionCircuit.new(8)
+    tv = table.allocate_witness_cell()
+    tv2 = table.allocate_witness_cell()
+    table.enforce_constraint(tv2.to_expr() - tv.to_expr() * tv.to_expr())
+    tw = [[0] * 8 for _ in range(table.num_cols())]
+    for row in range(8):
+        tw[tv.col][row] = row
+        tw[tv2.col][row] = row * row % R
+
+    src = TransitionCircuit.new(8)
+    sa = src.allocate_witness_cell()
+    sb = src.allocate_witness_cell()
+    src.enforce_constraint(sb.to_expr() - sa.to_expr() * sa.to_expr())
+    sw = [[0] * 8 for _ in range(src.num_cols())]
+    vals = [3, 1, 4, 1, 5, 2, 6, 5]
+    for row in range(8):
+        v = vals[row]
+        sw[sa.col][row] = v
+        sw[sb.col][row] = v * v % R
+    if bad_row is not None:
+        sw[sa.col][bad_row] = 9          # 9 not in the 0..7 table
+        sw[sb.col][bad_row] = 81
+    lk = hyperplonk.CrossTableLookup(
+        src_trace=0, src_cols=[sa.col, sb.col],
+        dst_trace=1, dst_cols=[tv.col, tv2.col])
+    return ([src, table],
+            [TraceWitness(columns=sw), TraceWitness(columns=tw)], lk)
+
+
+class TestCrossTableLookup:
+    """Cross-table lookups wired into HyperPlonk (growth beyond the
+    reference: `lookup.rs` exists but is never reached from `proof.rs`;
+    "cross-table lookups" unchecked in `/root/reference/README.md:21`)."""
+
+    def test_lookup_accepts_valid(self):
+        circuits, traces, lk = get_square_table_pair()
+        pcs = make_pcs(circuits)
+        hp = HyperPlonk.preprocess(circuits, pcs, lookups=[lk])
+        proof = hp.prove(traces)
+        assert len(proof.lookup_proofs) == 1
+        hyperplonk.verify(proof, hp.to_vk(), pcs)
+
+    def test_lookup_batched_pairings(self):
+        circuits, traces, lk = get_square_table_pair()
+        pcs = make_pcs(circuits)
+        hp = HyperPlonk.preprocess(circuits, pcs, lookups=[lk])
+        proof = hp.prove(traces)
+        hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
+
+    def test_lookup_missing_tuple_rejected(self):
+        # (9, 81) satisfies the square constraint but is not in the table:
+        # the prover runs honestly, the verifier must reject
+        circuits, traces, lk = get_square_table_pair(bad_row=4)
+        pcs = make_pcs(circuits)
+        hp = HyperPlonk.preprocess(circuits, pcs, lookups=[lk])
+        proof = hp.prove(traces)
+        with pytest.raises(ValueError):
+            hyperplonk.verify(proof, hp.to_vk(), pcs)
+
+    def test_lookup_mutated_multiplicities_rejected(self):
+        circuits, traces, lk = get_square_table_pair()
+        pcs = make_pcs(circuits)
+        hp = HyperPlonk.preprocess(circuits, pcs, lookups=[lk])
+        proof = hp.prove(traces)
+        op = proof.lookup_proofs[0].multiplicities_opening
+        op.evaluation = (op.evaluation + 1) % R
+        with pytest.raises(ValueError):
+            hyperplonk.verify(proof, hp.to_vk(), pcs)
+
+    def test_lookup_proof_roundtrip(self):
+        from quill_tpu.utils.proof_io import (deserialize_proof,
+                                              serialize_proof)
+
+        circuits, traces, lk = get_square_table_pair()
+        pcs = make_pcs(circuits)
+        hp = HyperPlonk.preprocess(circuits, pcs, lookups=[lk])
+        proof = hp.prove(traces)
+        data = serialize_proof(proof)
+        back = deserialize_proof(data)
+        assert serialize_proof(back) == data
+        hyperplonk.verify(back, hp.to_vk(), pcs)
+
+
 class TestBatchedPairingVerify:
     def test_batched_verify_accepts_valid(self):
         circuit, trace = get_fibonacci_circuit_and_trace()

@@ -89,7 +89,10 @@ def test_sharded_msm_matches_host():
     sc = jax.device_put(jnp.asarray(ints_to_limbs(scalars)), sh)
 
     expected = curve.msm_host(affs, scalars)
-    for c in (4, 8, 13):
+    # c = 5 is what pick_window_bits selects at dryrun scale; c = 13 covers
+    # the three-limb cross-word digit extraction.  (Each window size is a
+    # separate XLA program; two sizes keep the suite's compile budget sane.)
+    for c in (5, 13):
         got = sharded_msm(mesh, sc, bx, by, inf, window_bits=c)
         assert got == expected, f"sharded MSM mismatch at window_bits={c}"
 
