@@ -47,7 +47,9 @@ def bench_msm(log2n: int):
     from quill_tpu.fields.bn254 import R
 
     impl = os.environ.get("QUILL_MSM_IMPL", "3")
-    if impl == "4":
+    if impl == "5":
+        from quill_tpu.ec import msm5 as msm_run
+    elif impl == "4":
         from quill_tpu.ec import msm4 as msm_run
     elif impl == "3":
         from quill_tpu.ec import msm3 as msm_run
@@ -130,10 +132,28 @@ def bench_sumcheck_round(log2n: int):
     return min(times)
 
 
+def _cold_warm(extra, key, fn, reps=1):
+    """Time fn twice: first run (includes any remaining compiles / cache
+    loads at these shapes) as `<key>_cold_sec`, best of `reps` re-runs as
+    `<key>_sec` -- the warm number is the machine's real throughput; round-2
+    reported only compile-polluted first runs and under-reported the chip."""
+    t0 = time.time()
+    fn()
+    extra[key + "_cold_sec"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    extra[key + "_sec"] = round(best, 3)
+    log(f"{key}: cold {extra[key + '_cold_sec']}s warm {extra[key + '_sec']}s")
+
+
 def bench_small_configs(extra):
-    """BASELINE.json configs 1-3.  Vector math below one chunk runs on the
-    exact host engine (hybrid threshold); MSMs route to the device with
-    zero-padded scalars."""
+    """BASELINE.json configs 1-3, cold + warm.  Vector math below one chunk
+    runs on the exact host engine (hybrid threshold); MSMs route to the
+    device with zero-padded scalars."""
     import random
 
     from quill_tpu.engine.device import TpuEngine
@@ -150,38 +170,43 @@ def bench_small_configs(extra):
     # the host trusted setup is minutes of Python EC on a cold cache
     kzg = KZG.device_setup(eng, 1 << 10)
     poly = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 10)])
-    t0 = time.time()
-    kzg.commit(poly)
-    kzg.open(poly, rng.randrange(R))
-    extra["kzg_commit_open_2^10_sec"] = round(time.time() - t0, 3)
+
+    def run_kzg():
+        kzg.commit(poly)
+        kzg.open(poly, rng.randrange(R))
+
+    _cold_warm(extra, "kzg_commit_open_2^10", run_kzg)
 
     # 2) IPA over univariate PCS at 2^14 coefficients
     kzg14 = KZG.device_setup(eng, 1 << 14)
     p1 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
     p2 = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 14)])
-    t = Transcript(b"bench_ipa")
-    t.append_g1(kzg14.commit(p1))
-    t.append_g1(kzg14.commit(p2))
-    t0 = time.time()
-    ipa.prove(eng, p1, p2, kzg14, t)
-    extra["ipa_prove_2^14_sec"] = round(time.time() - t0, 3)
+
+    def run_ipa():
+        t = Transcript(b"bench_ipa")
+        t.append_g1(kzg14.commit(p1))
+        t.append_g1(kzg14.commit(p2))
+        ipa.prove(eng, p1, p2, kzg14, t)
+
+    _cold_warm(extra, "ipa_prove_2^14", run_ipa)
 
     # 3) multilinear PCS commit + eval proof, 16-variable hypercube
     pcs = MultilinearPCS(KZG.device_setup(eng, 1 << 16))
     mp = eng.vec_from_ints([rng.randrange(R) for _ in range(1 << 16)])
-    t = Transcript(b"bench_mlpcs")
-    t0 = time.time()
-    comm = pcs.commit(mp)
-    point = [rng.randrange(R) for _ in range(16)]
-    pcs.open(mp, point, t)
-    extra["mlpcs_commit_open_16var_sec"] = round(time.time() - t0, 3)
-    log(f"small configs: {extra}")
+
+    def run_mlpcs():
+        t = Transcript(b"bench_mlpcs")
+        pcs.commit(mp)
+        point = [rng.randrange(R) for _ in range(16)]
+        pcs.open(mp, point, t)
+
+    _cold_warm(extra, "mlpcs_commit_open_16var", run_mlpcs)
 
 
 def bench_logup(log2n: int, extra):
     """BASELINE config 4: sumcheck + zero-check + logup multiset-equality at
     2^log2n (the full PIOP combo: the multiset check internally batches the
-    denominator zero-checks and the sum check)."""
+    denominator zero-checks and the sum check), cold + warm."""
     import random
 
     from quill_tpu.engine.device import TpuEngine
@@ -201,18 +226,62 @@ def bench_logup(log2n: int, extra):
     # a rotation is a permutation: multisets match without host shuffling cost
     right = left[1:] + left[:1]
 
-    store = Store(eng, log2n)
-    l_ref = store.allocate_polynomial(left)
-    r_ref = store.allocate_polynomial(right)
-    l_virt = store.new_virtual_from_input(l_ref)
-    r_virt = store.new_virtual_from_input(r_ref)
+    def run():
+        store = Store(eng, log2n)
+        l_ref = store.allocate_polynomial(left)
+        r_ref = store.allocate_polynomial(right)
+        l_virt = store.new_virtual_from_input(l_ref)
+        r_virt = store.new_virtual_from_input(r_ref)
+        multiset_check.prove(store, l_virt, r_virt,
+                             Transcript(b"bench_logup"), pcs,
+                             LookupMode.EQUALITY, None)
 
-    t0 = time.time()
-    multiset_check.prove(store, l_virt, r_virt, Transcript(b"bench_logup"),
-                         pcs, LookupMode.EQUALITY, None)
-    extra["logup_multiset_prove_2^%d_sec" % log2n] = round(time.time() - t0, 2)
-    log(f"logup multiset prove at 2^{log2n}: "
-        f"{extra['logup_multiset_prove_2^%d_sec' % log2n]}s")
+    _cold_warm(extra, "logup_multiset_prove_2^%d" % log2n, run)
+
+
+def bench_full_prove(log2rows: int, extra):
+    """BASELINE config 5 proxy at bench scale: full HyperPlonk prove+verify
+    (Fibonacci transition circuit, copy constraints), cold + warm.  The
+    north-star 2^22-row multi-table run does not fit the bench window; it
+    runs via `scripts/prove_tpu.py` with timings recorded in BASELINE.md --
+    this entry keeps a full-pipeline number in the driver artifact."""
+    from quill_tpu.engine.device import TpuEngine
+    from quill_tpu.fields.bn254 import R
+    from quill_tpu.frontend.transition_circuit import TransitionCircuit
+    from quill_tpu.pcs.kzg import KZG
+    from quill_tpu.pcs.mlpcs import MultilinearPCS
+    from quill_tpu.piops.virtual_poly import Const
+    from quill_tpu.proof import hyperplonk
+    from quill_tpu.proof.hyperplonk import HyperPlonk, TraceWitness
+
+    rows = 1 << log2rows
+    circuit = TransitionCircuit.new(rows)
+    s1 = circuit.allocate_state_cell()
+    s2 = circuit.allocate_state_cell()
+    circuit.enforce_boundary_constraint(0, s1.current.to_expr())
+    circuit.enforce_boundary_constraint(0, s2.current.to_expr() - Const(1))
+    circuit.enforce_constraint(
+        s2.next.to_expr() - (s1.current.to_expr() + s2.current.to_expr()))
+    circuit.enforce_constraint(s1.next.to_expr() - s2.current.to_expr())
+    w = [[0] * rows for _ in range(circuit.num_cols())]
+    a, b = 0, 1
+    for row in range(rows):
+        w[s1.current.col][row] = a
+        w[s2.current.col][row] = b
+        w[s1.next.col][row] = b
+        w[s2.next.col][row] = (a + b) % R
+        a, b = b, (a + b) % R
+    trace = TraceWitness(columns=w)
+    eng = TpuEngine()
+    max_degree = circuit.num_cols() * circuit.num_rows()
+    pcs = MultilinearPCS(KZG.device_setup(eng, max_degree))
+    hp = HyperPlonk.preprocess([circuit], pcs)
+
+    def run():
+        proof = hp.prove([trace])
+        hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
+
+    _cold_warm(extra, "hyperplonk_prove_verify_2^%d_rows" % log2rows, run)
 
 
 _RESULT = {
@@ -269,6 +338,22 @@ def main():
     _RESULT["vs_baseline"] = round(
         pts_per_sec / ARKWORKS_CPU_MSM_2E20_POINTS_PER_SEC, 3)
 
+    # measured arkworks-CPU stand-in: our native C single-thread Pippenger
+    # at the same size on THIS host (provenance in BASELINE.md).  The ratio
+    # keeps the CONSERVATIVE denominator max(measured, 700k documented
+    # estimate) so a slow bench host can never inflate vs_baseline.
+    if os.environ.get("QUILL_BENCH_CPU_MSM", "1") != "0":
+        try:
+            from quill_tpu.ec import native_ec
+
+            cpu_pts = native_ec.bench_msm_cpu(log2n)
+            if cpu_pts is not None:
+                extra["arkworks_cpu_standin_pts_per_sec"] = round(cpu_pts, 1)
+                denom = max(cpu_pts, ARKWORKS_CPU_MSM_2E20_POINTS_PER_SEC)
+                _RESULT["vs_baseline"] = round(pts_per_sec / denom, 3)
+        except Exception as e:
+            log(f"cpu msm baseline failed: {e!r}")
+
     try:
         t_round = bench_sumcheck_round(sc_log2n)
         extra["sumcheck_round_sec_2^%d" % sc_log2n] = round(t_round, 4)
@@ -282,11 +367,18 @@ def main():
         except Exception as e:
             log(f"small-config bench failed: {e!r}")
 
-    if os.environ.get("QUILL_BENCH_PIOP"):
+    if os.environ.get("QUILL_BENCH_PIOP", "1") != "0":
         try:
             bench_logup(int(os.environ.get("QUILL_PIOP_LOG2N", "20")), extra)
         except Exception as e:
             log(f"logup bench failed: {e!r}")
+
+    if os.environ.get("QUILL_BENCH_FULL", "1") != "0":
+        try:
+            bench_full_prove(
+                int(os.environ.get("QUILL_BENCH_ROWS_LOG2", "12")), extra)
+        except Exception as e:
+            log(f"full-prove bench failed: {e!r}")
 
     _emit()
 

@@ -408,6 +408,30 @@ void quill_g1_batch_normalize(const uint64_t *jacs, size_t n,
   free(ps); free(prefix);
 }
 
+/* n affine canonical points P_i = (i+1)*G by iterated mixed addition + one
+ * batch normalization.  Cheap generator of distinct points for measuring the
+ * host-CPU Pippenger baseline (the arkworks-CPU stand-in denominator of the
+ * headline vs_baseline ratio) without minutes of scalar muls. */
+void quill_g1_gen_series(size_t n, uint64_t *out, uint8_t *out_inf) {
+  if (n == 0) return;
+  /* BN254 G1 generator (1, 2), Montgomery form */
+  fq gx, gy, one = {{1, 0, 0, 0}}, two = {{2, 0, 0, 0}};
+  fq_to_mont(&gx, &one);
+  fq_to_mont(&gy, &two);
+  g1 *ps = malloc(n * sizeof(g1));
+  uint64_t *jbuf = malloc(n * 12 * sizeof(uint64_t));
+  g1 acc;
+  acc.X = gx; acc.Y = gy; acc.Z = FQ_ONE_M;
+  ps[0] = acc;
+  for (size_t i = 1; i < n; i++) {
+    g1_add_affine(&acc, &acc, &gx, &gy);
+    ps[i] = acc;
+  }
+  for (size_t i = 0; i < n; i++) store_jac_canon(jbuf + 12 * i, &ps[i]);
+  quill_g1_batch_normalize(jbuf, n, out, out_inf);
+  free(ps); free(jbuf);
+}
+
 /* out[i] = scalars[i] * base (Jacobian canonical out), e.g. tau-power CRS. */
 void quill_g1_scalar_mul_many(const uint64_t *base_aff, uint8_t base_inf,
                               const uint64_t *scalars, size_t n,

@@ -64,6 +64,9 @@ def _load():
                                                  _U64P, ctypes.c_size_t,
                                                  _U64P]
         lib.quill_g1_scalar_mul_many.restype = None
+        if hasattr(lib, "quill_g1_gen_series"):
+            lib.quill_g1_gen_series.argtypes = [ctypes.c_size_t, _U64P, _U8P]
+            lib.quill_g1_gen_series.restype = None
         if not _self_check(lib):
             raise RuntimeError("native ec_g1 self-check failed")
         _LIB = lib
@@ -174,6 +177,36 @@ def batch_to_affine(points: list) -> list:
             out.append(curve.Affine(curve.Fq(_unwords(abuf, 8 * i)),
                                     curve.Fq(_unwords(abuf, 8 * i + 4))))
     return out
+
+
+def bench_msm_cpu(log2n: int = 20, seed: int = 0) -> float | None:
+    """Measured host-CPU single-thread Pippenger throughput (points/s) at
+    2^log2n random-ish scalars over distinct points -- the arkworks-CPU
+    stand-in denominator for the headline `vs_baseline` ratio (the C MSM
+    uses arkworks' windowing heuristic and CIOS Montgomery arithmetic; the
+    reference repo publishes no numbers of its own, BASELINE.md).  Returns
+    None when the native backend or the series generator is unavailable."""
+    import time
+
+    import numpy as np
+
+    lib = _load()
+    if not lib or not hasattr(lib, "quill_g1_gen_series"):
+        return None
+    n = 1 << log2n
+    pbuf = (ctypes.c_uint64 * (8 * n))()
+    ibuf = (ctypes.c_uint8 * n)()
+    lib.quill_g1_gen_series(n, pbuf, ibuf)
+    rng = np.random.default_rng(seed)
+    words = rng.integers(0, 1 << 63, size=(n, 4), dtype=np.uint64)
+    words[:, 3] >>= 3  # < 2^61 < r: canonical without per-scalar Python mod
+    sbuf = (ctypes.c_uint64 * (4 * n))()
+    ctypes.memmove(sbuf, words.ctypes.data, 32 * n)
+    out = (ctypes.c_uint64 * 12)()
+    t0 = time.time()
+    lib.quill_g1_msm(pbuf, ibuf, n, sbuf, out)
+    dt = time.time() - t0
+    return n / dt
 
 
 def scalar_mul_many(base, scalars: list) -> list:

@@ -931,7 +931,9 @@ class TpuEngine:
 
         from ..ec import curve
         impl = os.environ.get("QUILL_MSM_IMPL", "3")
-        if impl == "4":
+        if impl == "5":
+            from ..ec import msm5 as msm_mod
+        elif impl == "4":
             from ..ec import msm4 as msm_mod
         elif impl == "3":
             from ..ec import msm3 as msm_mod
@@ -973,9 +975,11 @@ class TpuEngine:
         def fallback():
             return [self.msm(b, s) for b, s in jobs]
 
-        if impl not in ("3", "4") or len(jobs) <= 1:
+        if impl not in ("3", "4", "5") or len(jobs) <= 1:
             return fallback()
-        if impl == "4":
+        if impl == "5":
+            from ..ec import msm5 as msm_mod
+        elif impl == "4":
             from ..ec import msm4 as msm_mod
         else:
             from ..ec import msm3 as msm_mod

@@ -177,10 +177,21 @@ class ShardedEngine:
             return self.host.slice(v, start, stop)
         if start == 0 and stop == v.length:
             return v
+        if (start == 0 and stop >= self.min_device_size
+                and stop % self.ndev == 0 and stop <= v.arr.shape[-1]):
+            # mesh-aligned prefix slice (the common case: power-of-two
+            # prefixes of power-of-two tables): stays on device -- GSPMD
+            # rebalances over ICI instead of riding the host link
+            return SVec(arr=self._jit_prefix(stop)(v.arr), length=stop)
         host = self.host.slice(self._demote(v), start, stop)
         if stop - start < self.min_device_size:
             return host
         return self._promote(host)
+
+    @lru_cache(maxsize=None)
+    def _jit_prefix(self, stop: int):
+        return jax.jit(lambda x: jax.lax.slice_in_dim(x, 0, stop, axis=1),
+                       out_shardings=self._sh)
 
     def concat(self, vs):
         if not any(isinstance(v, SVec) for v in vs):
@@ -438,28 +449,49 @@ class ShardedEngine:
                 for t in range(degree + 1)]
         return new_tables, msgs
 
-    def _msgs_body(self, expr, used, degree, consts, arrs):
+    def _psb4(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(None, None, "x", None))
+
+    def _restack_pairs(self, stacked):
+        """(L, k, n) stacked tables -> (L, k, n/2) lo/hi halves with the
+        element axis sharded (adjacent pairs never cross shards)."""
+        pairs = jax.lax.reshape(
+            stacked, (L, stacked.shape[1], stacked.shape[-1] // 2, 2),
+            out_sharding=self._psb4())
+        return pairs[..., 0], pairs[..., 1]
+
+    def _stacked_pairs(self, arrs):
+        return self._restack_pairs(jnp.stack(arrs, axis=1))
+
+    def _msgs_body(self, expr, used, degree, consts, lo, hi):
         """Message block-sums for one round: evaluate the fused expression
-        at t = 0..degree on the lo/hi pair decomposition."""
-        t_consts = [jnp.asarray(_mont_const(t)) for t in range(degree + 1)]
-        lows, highs = [], []
-        for a in arrs:
-            lo, hi = self._pairs(a)
-            lows.append(lo)
-            highs.append(hi)
-        outs = []
-        n2 = lows[0].shape[-1]
+        at ALL t = 0..degree in one batched pass over a T axis.
+
+        The per-t/per-table unrolled form inlined the expression body
+        (deg+1) * k times and put the XLA:CPU compile of each round shape
+        at ~a minute; batching t as an array axis emits ONE expression body
+        (compiled code is equivalent; the message sums are the same exact
+        lazy int32 limb sums)."""
+        t_np = np.stack([_mont_const(t) for t in range(degree + 1)],
+                        axis=1)                            # (22, T, 1)
+        diff = fd.sub(hi, lo, SPEC)                        # (22, k, n2)
+        lo4 = lo[:, :, None, :]                            # (22, k, 1, n2)
+        t_col = jnp.asarray(t_np)[:, None, :, :]           # (22, 1, T, 1)
+        shape = (L, lo.shape[1], degree + 1, lo.shape[-1])
+        vals = fd.add(jnp.broadcast_to(lo4, shape),
+                      fd.mont_mul(jnp.broadcast_to(t_col, shape),
+                                  jnp.broadcast_to(diff[:, :, None, :],
+                                                   shape), SPEC), SPEC)
+        tab = {idx: vals[:, i] for i, idx in enumerate(used)}  # (22, T, n2)
+        consts3 = consts[:, :, :, None] if consts.ndim == 3 else consts
+        h = _emit(expr, tab, consts3, [0])                 # (22, T, n2)
+        n2 = lo.shape[-1]
         bs = self._bs_for(n2)
-        for t in range(degree + 1):
-            tab = {}
-            for i, lo, hi in zip(used, lows, highs):
-                diff = fd.sub(hi, lo, SPEC)
-                tc = jnp.broadcast_to(t_consts[t], diff.shape)
-                tab[i] = fd.add(lo, fd.mont_mul(tc, diff, SPEC), SPEC)
-            h = _emit(expr, tab, consts, [0])
-            outs.append(jnp.sum(self._reshape_blocks(h, n2 // bs, bs),
-                                axis=2))
-        return jnp.stack(outs, axis=0)   # (T, 22, nb)
+        h4 = jax.lax.reshape(h, (L, degree + 1, n2 // bs, bs),
+                             out_sharding=self._psb4())
+        return jnp.transpose(jnp.sum(h4, axis=3), (1, 0, 2))  # (T, 22, nb)
 
     @lru_cache(maxsize=None)
     def _jit_msgs(self, expr_key, used: tuple, degree: int):
@@ -467,7 +499,8 @@ class ShardedEngine:
 
         def make(expr):
             def f(consts, *arrs):
-                return self._msgs_body(expr, used, degree, consts, arrs)
+                lo, hi = self._stacked_pairs(arrs)
+                return self._msgs_body(expr, used, degree, consts, lo, hi)
             return jax.jit(f)
         return _OnceBuilt(make)
 
@@ -477,14 +510,13 @@ class ShardedEngine:
 
         def make(expr):
             def f(consts, r, *arrs):
-                folded = []
-                for a in arrs:
-                    lo, hi = self._pairs(a)
-                    folded.append(fd.add(
-                        lo, fd.mont_mul(jnp.broadcast_to(r, lo.shape),
-                                        fd.sub(hi, lo, SPEC), SPEC), SPEC))
-                msgs = self._msgs_body(expr, used, degree, consts, folded)
-                return (msgs, *folded)
+                lo, hi = self._stacked_pairs(arrs)
+                folded = fd.add(
+                    lo, fd.mont_mul(jnp.broadcast_to(r[:, None], lo.shape),
+                                    fd.sub(hi, lo, SPEC), SPEC), SPEC)
+                flo, fhi = self._restack_pairs(folded)
+                msgs = self._msgs_body(expr, used, degree, consts, flo, fhi)
+                return (msgs, *[folded[:, k] for k in range(len(used))])
             return jax.jit(
                 f, out_shardings=(None, *([self._sh] * len(used))))
         return _OnceBuilt(make)

@@ -95,14 +95,27 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     # is unchanged; the round kernels just read 1 fused table per side
     # instead of re-evaluating the h expression (for the permutation check
     # that is id/perm + alpha*witness) at every interpolation node.
-    u_left_ref = store.allocate_polynomial(u_left)
-    u_right_ref = store.allocate_polynomial(u_right)
+    #
+    # Soundness of the substitution REQUIRES the h-side expressions to be
+    # multilinear (degree <= 1 in the input tables): sumcheck round
+    # messages evaluate the expression on per-table interpolations, and
+    # interp(gamma + h) == gamma + h(interp(tables)) only when h is linear.
+    # Nonlinear h-sides fall back to the original expression form (round
+    # messages then differ from the u-table form but match the verifier's
+    # reconstruction, which is what matters).
     m_expr = (store.get_expr(multiplicities) if mode == LookupMode.SUBSET
               else Const(1))
+
+    def u_side(u_vec, h_ref):
+        h_expr = store.get_expr(h_ref)
+        if h_expr.degree() <= 1:
+            return store.allocate_polynomial(u_vec).to_expr()
+        return Const(logup_eval_point) + h_expr
+
     zerocheck_expr = (
-        denom_left_ref.to_expr() * u_left_ref.to_expr()
+        denom_left_ref.to_expr() * u_side(u_left, h_left)
         - Const(1)
-        + Const(lam) * (denom_right_ref.to_expr() * u_right_ref.to_expr()
+        + Const(lam) * (denom_right_ref.to_expr() * u_side(u_right, h_right)
                         - m_expr)
     )
 
@@ -134,7 +147,8 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
 
     with phase("multiset/sumcheck"):
         sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0,
-                                                  transcript)
+                                                  transcript,
+                                                  release_inputs=True)
     evaluation_point = sc_claim.point
 
     with phase("multiset/opens"):

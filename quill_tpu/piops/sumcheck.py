@@ -90,9 +90,18 @@ class SumcheckProof:
 
 
 def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
-          transcript: Transcript) -> tuple[SumcheckProof, EvaluationClaim]:
+          transcript: Transcript, release_inputs: bool = False
+          ) -> tuple[SumcheckProof, EvaluationClaim]:
     """`SumcheckProof::prove` (`sumcheck.rs:28-114`).  Binds the LSB variable
-    each round; appends each round message then draws the challenge."""
+    each round; appends each round message then draws the challenge.
+
+    release_inputs: explicit caller opt-in to drop the store's references
+    to the used input tables for the duration of the prove, letting the
+    full-size originals free as soon as the first fold replaces them.  Only
+    pass True when the caller never re-reads those store slots afterwards
+    (zerocheck / multiset_check do not -- the denominators they open later
+    are separate locals).  Effective only on engines with HBM spill and at
+    sizes where HBM is the binding constraint (QUILL_SC_RELEASE_MIN_VARS)."""
     engine = store.engine
     transcript.append_usize(num_vars)
     transcript.append_field(claimed_sum % R)
@@ -107,16 +116,10 @@ def prove(num_vars: int, store: Store, h: VirtualRef, claimed_sum: int,
     for i in used:
         tables[i] = store.polynomials[i]
 
-    # Huge traces: drop the store's references to the input tables so the
-    # full-size originals free as soon as the first fold replaces them
-    # (the local `tables` list is the only owner afterwards).  Callers
-    # never reuse sumcheck inputs through the store after proving -- the
-    # denominators a multiset check opens later are separate locals.  Only
-    # applied at sizes where HBM is the binding constraint.
     import os as _os
 
-    if (num_vars >= int(_os.environ.get("QUILL_SC_RELEASE_MIN_VARS", "23"))
-            and hasattr(engine, "spill_vec")):
+    if (release_inputs and hasattr(engine, "spill_vec") and num_vars
+            >= int(_os.environ.get("QUILL_SC_RELEASE_MIN_VARS", "23"))):
         for i in used:
             store.polynomials[i] = None
 

@@ -219,7 +219,7 @@ class HyperPlonk:
         zero_check_virtual = store.new_virtual_from_expr(zero_check_expr)
         with phase("prove/zerocheck"):
             zero_check_proof, zc_claim = zerocheck.prove(
-                store, zero_check_virtual, transcript)
+                store, zero_check_virtual, transcript, release_inputs=True)
 
         # permutation check on the whole trace as one polynomial
         # (`proof.rs:183-196`)

@@ -13,6 +13,31 @@ import os
 _CONFIGURED = False
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the CPU's identity + feature flags.  XLA:CPU AOT blobs
+    embed machine features; loading an entry compiled on a different CPU
+    spews `cpu_aot_loader` mismatch errors and risks SIGILL (seen in the
+    round-2 MULTICHIP logs when ~/.cache carried a previous machine's
+    executables).  CPU-backend processes therefore use a per-machine cache
+    subdir; TPU processes share the plain dir (their executables are
+    compiled remotely for the one TPU type)."""
+    import hashlib
+
+    ident = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    ident.append(line.strip())
+                    if len(ident) >= 2:
+                        break
+    except OSError:
+        import platform
+
+        ident.append(platform.processor() or platform.machine())
+    return hashlib.sha256("\n".join(ident).encode()).hexdigest()[:12]
+
+
 def configure_jax() -> None:
     global _CONFIGURED
     if _CONFIGURED:
@@ -23,6 +48,10 @@ def configure_jax() -> None:
     cache_dir = os.environ.get(
         "QUILL_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache",
                                         "quill_tpu_jax_cache"))
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in platforms and "tpu" not in platforms \
+            and "axon" not in platforms:
+        cache_dir = f"{cache_dir}-cpu-{_host_fingerprint()}"
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -201,8 +201,12 @@ def deserialize_proof(data: bytes) -> hyperplonk.HyperPlonkProof:
         ))
     lookup_proofs = []
     raw_count = buf.read(8)
-    n_lookups = int.from_bytes(raw_count, "little") if len(raw_count) == 8 \
-        else 0
+    if len(raw_count) not in (0, 8):
+        # a 1-7 byte remainder is a truncated lookup-count field, not a
+        # legacy lookup-free proof -- fail at deserialization rather than
+        # relying on the downstream vk.lookups length cross-check
+        raise ValueError("truncated lookup count in proof bytes")
+    n_lookups = int.from_bytes(raw_count, "little") if raw_count else 0
     for _ in range(n_lookups):
         mult_comm = _r_g1(buf)
         si = set_inclusion.SetInclusionProof(

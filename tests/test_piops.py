@@ -65,6 +65,45 @@ class TestSumcheck:
         assert claim.evaluation == (
             mle_evaluate(g1, pt) * mle_evaluate(g2, pt)) % R
 
+    def test_release_inputs_contract(self, monkeypatch):
+        """`release_inputs` is opt-in (round-2 advisor): the default prove
+        leaves the caller's store slots intact even on a spill-capable
+        engine above the size threshold; opting in nulls the used slots and
+        produces the identical proof."""
+        monkeypatch.setenv("QUILL_SC_RELEASE_MIN_VARS", "2")
+        from quill_tpu.engine.device import TpuEngine
+
+        eng = TpuEngine()
+        assert hasattr(eng, "spill_vec")
+        num_vars = 4
+        rng = random.Random(7)
+        g = [[rng.randrange(R) for _ in range(1 << num_vars)]
+             for _ in range(2)]
+        claimed = sum(a * b for a, b in zip(g[0], g[1])) % R
+
+        def run(release):
+            store = Store(eng, num_vars)
+            r0 = store.allocate_polynomial(g[0])
+            r1 = store.allocate_polynomial(g[1])
+            vp = store.new_virtual_from_input(r0)
+            store.mul_in_place(vp, r1)
+            proof, _ = sumcheck.prove(num_vars, store, vp, claimed,
+                                      Transcript(b"rel"),
+                                      release_inputs=release)
+            return proof, store
+
+        proof_def, store_def = run(False)
+        assert store_def.polynomials[0] is not None
+        assert store_def.polynomials[1] is not None
+        # the intact slots are still readable (caller reuse works)
+        assert len(list(eng.vec_to_ints(
+            store_def.polynomials[0]))) == 1 << num_vars
+
+        proof_rel, store_rel = run(True)
+        assert store_rel.polynomials[0] is None
+        assert store_rel.polynomials[1] is None
+        assert proof_rel.r_polys == proof_def.r_polys
+
     def test_wrong_sum_rejected(self):
         num_vars = 3
         rng = random.Random(0)

@@ -87,5 +87,87 @@ fn main() {
         out.insert("transcript_challenge_fr".into(), ser(&fe).into());
     }
 
+    // corner cases (round-2 verdict item 10).  NOTE: g1_y_half_lo/hi in the
+    // Python-derived fixtures use synthetic off-curve pairs to pin the
+    // YIsNegative boundary; arkworks types cannot represent those, so this
+    // generator emits only the representable subset -- the Python test
+    // tolerates their absence from a Rust-generated file.
+    {
+        let g = G1Projective::generator();
+        let pts = vec![g, g - g, g.double()];
+        out.insert("g1_vec_with_identity".into(), ser(&pts).into());
+
+        let ff = [0xffu8; 48];
+        let mut counting = [0u8; 48];
+        for (i, b) in counting.iter_mut().enumerate() {
+            *b = i as u8;
+        }
+        out.insert("fr_from_48_ff_bytes".into(), hex(&ff).into());
+        out.insert(
+            "fr_from_48_ff".into(),
+            ser(&Fr::from_le_bytes_mod_order(&ff)).into(),
+        );
+        out.insert("fr_from_48_counting_bytes".into(), hex(&counting).into());
+        out.insert(
+            "fr_from_48_counting".into(),
+            ser(&Fr::from_le_bytes_mod_order(&counting)).into(),
+        );
+
+        // full transcript replay over every encoder branch
+        let append = |state: &mut Vec<u8>, msg: &[u8]| {
+            let mut h = blake3::Hasher::new();
+            h.update(state);
+            h.update(msg);
+            *state = h.finalize().as_bytes().to_vec();
+        };
+        let draw = |state: &mut Vec<u8>| -> Fr {
+            let mut h = blake3::Hasher::new();
+            h.update(state);
+            h.update(b"challenge");
+            let mut reader = h.finalize_xof();
+            let mut c = vec![0u8; 48];
+            reader.fill(&mut c);
+            append(state, &c);
+            Fr::from_le_bytes_mod_order(&c)
+        };
+        let mut hasher = blake3::Hasher::new();
+        hasher.update(b"replay_domain");
+        let mut state = hasher.finalize().as_bytes().to_vec();
+        let mut msg = vec![];
+        2usize.serialize_uncompressed(&mut msg).unwrap();
+        append(&mut state, &msg);
+        msg.clear();
+        Fr::from(5u64).serialize_uncompressed(&mut msg).unwrap();
+        append(&mut state, &msg);
+        msg.clear();
+        vec![Fr::from(0u64), Fr::from(1u64), -Fr::from(1u64)]
+            .serialize_uncompressed(&mut msg)
+            .unwrap();
+        append(&mut state, &msg);
+        msg.clear();
+        DensePolynomial::from_coefficients_vec(vec![
+            Fr::from(1u64),
+            Fr::from(0u64),
+            Fr::from(2u64),
+            Fr::from(0u64),
+        ])
+        .serialize_uncompressed(&mut msg)
+        .unwrap();
+        append(&mut state, &msg);
+        let r1 = draw(&mut state);
+        msg.clear();
+        g.mul(Fr::from(3u64))
+            .serialize_uncompressed(&mut msg)
+            .unwrap();
+        append(&mut state, &msg);
+        msg.clear();
+        (g - g).serialize_uncompressed(&mut msg).unwrap();
+        append(&mut state, &msg);
+        let r2 = draw(&mut state);
+        out.insert("replay_r1".into(), ser(&r1).into());
+        out.insert("replay_r2".into(), ser(&r2).into());
+        out.insert("replay_final_state".into(), hex(&state).into());
+    }
+
     println!("{}", serde_json::Value::Object(out));
 }
