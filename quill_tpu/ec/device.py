@@ -135,18 +135,33 @@ def host_affine_to_device(points) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.asarray(infs, dtype=bool))
 
 
+_FROM_MONT_FQ_JIT = None
+
+
+def _from_mont_fq_jit():
+    """Module-cached jit: a FRESH `jax.jit(lambda ...)` per call defeats
+    the compile cache (new function identity every time) -- this function
+    runs once per MSM partial per device, and the per-call recompile
+    (~2.5 s each on CPU) was the entire 40-minute sharded-prove stall in
+    the round-3 driver dryrun."""
+    global _FROM_MONT_FQ_JIT
+    if _FROM_MONT_FQ_JIT is None:
+        import jax
+
+        _FROM_MONT_FQ_JIT = jax.jit(lambda a: fd.from_mont(a, FQ))
+    return _FROM_MONT_FQ_JIT
+
+
 def device_point_to_host(p: tuple):
     """Single device projective point (22, 1) coords (Montgomery) -> host
     ec.curve.Jacobian (projective (X,Y,Z) is also a valid Jacobian encoding
     only when Z in {0,1}; convert properly via affine)."""
-    import jax
-
     from ..ec import curve
     from ..fields.limbs import limbs_to_ints
     from ..fields.scalar import inv as sinv
 
-    x_l, y_l, z_l = (limbs_to_ints(np.asarray(
-        jax.jit(lambda a: fd.from_mont(a, FQ))(c)))[0] for c in p)
+    fm = _from_mont_fq_jit()
+    x_l, y_l, z_l = (limbs_to_ints(np.asarray(fm(c)))[0] for c in p)
     if z_l == 0:
         return curve.Jacobian.identity(curve.Fq(1))
     z_inv = sinv(z_l, P)

@@ -69,6 +69,7 @@ class DeviceBasis:
 
 
 _to_mont_fq = None
+_from_mont_fq = None
 
 
 def _get_to_mont_fq():
@@ -76,6 +77,15 @@ def _get_to_mont_fq():
     if _to_mont_fq is None:
         _to_mont_fq = jax.jit(lambda x: fd.to_mont(x, fd.FQ))
     return _to_mont_fq
+
+
+def _get_from_mont_fq():
+    """Module-cached (a fresh per-call `jax.jit(lambda ...)` defeats the
+    compile cache -- new function identity every call)."""
+    global _from_mont_fq
+    if _from_mont_fq is None:
+        _from_mont_fq = jax.jit(lambda x: fd.from_mont(x, fd.FQ))
+    return _from_mont_fq
 
 
 def load_basis(affines: list) -> DeviceBasis:
@@ -361,7 +371,7 @@ def msm_device(basis: DeviceBasis, scalar_chunks: list, length: int):
     wx, wy, wz = _k_take_last(*red)
 
     # host combine: W points, c doublings between windows
-    fm = jax.jit(lambda a: fd.from_mont(a, fd.FQ))
+    fm = _get_from_mont_fq()
     X = limbs_to_ints(np.asarray(fm(wx)))
     Y = limbs_to_ints(np.asarray(fm(wy)))
     Z = limbs_to_ints(np.asarray(fm(wz)))

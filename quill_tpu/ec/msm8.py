@@ -294,8 +294,7 @@ def msm_device(basis: msm12.DeviceBasis, scalar_chunks: list, length: int):
     win = _k_triangle(acc)
     tx, ty, tz = win[:L], win[L:2 * L], win[2 * L:]
 
-    fm = jax.jit(lambda a: f8.lazy_to_canonical(
-        f8.mont_mul_const(a, _one_int_limbs(), f8.FQ8), f8.FQ8))
+    fm = _get_fm8()
     X = f8.limbs8_to_ints(np.asarray(fm(tx)))
     Y = f8.limbs8_to_ints(np.asarray(fm(ty)))
     Z = f8.limbs8_to_ints(np.asarray(fm(tz)))
@@ -314,6 +313,18 @@ def msm_device(basis: msm12.DeviceBasis, scalar_chunks: list, length: int):
             result = result.double()
         result = result.add(windows[w])
     return result
+
+
+_FM8 = None
+
+
+def _get_fm8():
+    """Module-cached jit (a fresh per-call lambda defeats the cache)."""
+    global _FM8
+    if _FM8 is None:
+        _FM8 = jax.jit(lambda a: f8.lazy_to_canonical(
+            f8.mont_mul_const(a, _one_int_limbs(), f8.FQ8), f8.FQ8))
+    return _FM8
 
 
 @functools.lru_cache(maxsize=None)

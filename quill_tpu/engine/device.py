@@ -926,11 +926,25 @@ class TpuEngine:
 
         return msm_mod.slice_basis(basis, n)
 
-    def msm(self, basis, scalars):
+    @staticmethod
+    def _msm_impl(basis) -> str:
+        """MSM impl selection.  The shifted-basis pipelines (3/4/5) store
+        W x the CRS on device (519 MB f32 / 173 MB bf16 per 2^16 chunk);
+        above QUILL_MSM_SHIFT_MAX points (default 2^21) that no longer fits
+        HBM, so huge bases route to the shift-free per-window pipeline
+        (msm8) regardless of the configured impl."""
         import os
 
-        from ..ec import curve
         impl = os.environ.get("QUILL_MSM_IMPL", "3")
+        limit = int(os.environ.get("QUILL_MSM_SHIFT_MAX", str(1 << 21)))
+        nch = len(getattr(basis, "x_chunks", ()) or ())
+        if impl in ("3", "4", "5") and nch * CHUNK > limit:
+            return "8"
+        return impl
+
+    def msm(self, basis, scalars):
+        from ..ec import curve
+        impl = self._msm_impl(basis)
         if impl == "5":
             from ..ec import msm5 as msm_mod
         elif impl == "4":
@@ -970,7 +984,8 @@ class TpuEngine:
         falls back to sequential `msm` when batching does not apply."""
         import os
 
-        impl = os.environ.get("QUILL_MSM_IMPL", "3")
+        impl = (self._msm_impl(jobs[0][0]) if jobs
+                else os.environ.get("QUILL_MSM_IMPL", "3"))
 
         def fallback():
             return [self.msm(b, s) for b, s in jobs]

@@ -140,6 +140,16 @@ class ShardedSumcheck:
                        out_shardings=shard_tables(mesh))(sharded)
 
 
+_FROM_MONT_FR = None
+
+
+def _jit_from_mont_fr():
+    global _FROM_MONT_FR
+    if _FROM_MONT_FR is None:
+        _FROM_MONT_FR = jax.jit(lambda x: fd.from_mont(x, fd.FR))
+    return _FROM_MONT_FR
+
+
 @jax.jit
 def _to_mont_stacked(x):
     # x: (22, k, N) canonical -> Montgomery (limb axis leads; fd ops batch
@@ -240,7 +250,7 @@ def sharded_sumcheck_prove(mesh, num_vars: int, tables: list, expr,
         mesh, [[int(x) for x in tables[i]] for i in used])
 
     def to_host(dev):
-        canon = jax.jit(lambda x: fd.from_mont(x, fd.FR))(dev)
+        canon = _jit_from_mont_fr()(dev)
         arr = np.asarray(canon)
         out = [None] * (max(used) + 1)
         for k, i in enumerate(used):

@@ -72,5 +72,37 @@ def main():
           b16col, perm)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not __import__("os").environ.get(
+        "QUILL_PROBES"):
     main()
+
+
+def extra_probes():
+    """Program-overhead + batched-sort probes (round-3 follow-up)."""
+    rng = np.random.default_rng(1)
+    tiny = jnp.ones((8, 128), jnp.float32)
+    bench("XLA trivial (x+1 on 4KB)", jax.jit(lambda x: x + 1.0), tiny)
+    big = jnp.asarray(rng.integers(0, 255, (99, FLAT)).astype(np.float32))
+    bench("XLA elementwise 519MB (x+1)", jax.jit(lambda x: x + 1.0), big)
+    keys1 = jnp.asarray(rng.integers(0, 8192, FLAT, dtype=np.int32))
+    bench("sort single-int32 (no payload) 1.31M",
+          jax.jit(lambda k: jax.lax.sort(k)), keys1)
+    keys16 = jnp.asarray(rng.integers(0, 8192, (16, FLAT), dtype=np.int32))
+    iota = jax.lax.iota(jnp.int32, FLAT)
+    bench("sort_key_val vmapped (16, 1.31M)",
+          jax.jit(lambda k: jax.lax.sort_key_val(
+              k, jnp.broadcast_to(iota, k.shape), dimension=1)[1]), keys16)
+    keys4 = keys16[:4]
+    bench("sort_key_val vmapped (4, 1.31M)",
+          jax.jit(lambda k: jax.lax.sort_key_val(
+              k, jnp.broadcast_to(iota, k.shape), dimension=1)[1]), keys4)
+    b16 = jnp.asarray(rng.integers(0, 255, (4, 66, FLAT)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    perm4 = jnp.asarray(
+        np.stack([rng.permutation(FLAT) for _ in range(4)]).astype(np.int32))
+    bench("batched col-gather (4, 66, flat) bf16",
+          jax.jit(jax.vmap(lambda b, p: b[:, p])), b16, perm4)
+
+
+if __name__ == "__main__" and __import__("os").environ.get("QUILL_PROBES"):
+    extra_probes()

@@ -127,11 +127,6 @@ def _fib_circuit(rows: int):
     return circuit, TraceWitness(columns=w)
 
 
-@pytest.mark.skipif(not os.environ.get("QUILL_SLOW_TESTS"),
-                    reason="~10 min of XLA CPU compile (sharded Pippenger "
-                    "+ per-size sumcheck programs) -- opt-in via "
-                    "QUILL_SLOW_TESTS=1; the driver's dryrun_multichip "
-                    "runs the same byte-equality assertion")
 def test_sharded_engine_full_prove_byte_identical():
     """The north-star multi-chip milestone: a FULL HyperPlonk prove through
     the ShardedEngine on the 8-device mesh produces byte-identical proof
