@@ -46,7 +46,7 @@ def bench_msm(log2n: int):
     from quill_tpu.ec.fixed_base import device_tau_powers
     from quill_tpu.fields.bn254 import R
 
-    impl = os.environ.get("QUILL_MSM_IMPL", "3")
+    impl = os.environ.get("QUILL_MSM_IMPL", "5")
     if impl == "5":
         from quill_tpu.ec import msm5 as msm_run
     elif impl == "4":
@@ -102,6 +102,7 @@ def bench_sumcheck_round(log2n: int):
 
     eng = TpuEngine()
     n = 1 << log2n
+    assert n >= CHUNK, "sumcheck bench needs at least one device chunk"
     rng = np.random.default_rng(1)
 
     expr = (Input(0) * Input(1) - Input(2)) * Input(3)

@@ -343,6 +343,55 @@ def _ident_cols(n: int) -> jnp.ndarray:
     return jnp.concatenate([z, o, z], axis=0)
 
 
+def _treetop_up_fn(x16):
+    """Fused up-sweep of the small levels: (16, 3L, m) -> packed
+    [L8 | L4 | L2 | L1] = (15, 3L, m), one dispatch (each tiny level as its
+    own dispatch costs ~5-35 ms on axon regardless of size).  One transpose
+    in, one out -- the add steps stay in the limb-leading layout."""
+    spec = f8.FQ8
+    r = jnp.transpose(x16, (1, 0, 2))                      # (3L, 16, m)
+    levels = []
+    while r.shape[1] > 1:
+        r = _xadd(r[:, 0::2], r[:, 1::2], spec)
+        levels.append(r)
+    packed = jnp.concatenate(levels, axis=1)               # (3L, 15, m)
+    return jnp.transpose(packed, (1, 0, 2))
+
+
+_k_treetop_up = aot_wrap("msm3.treetopup", _treetop_up_fn, deps=EC_KDEPS)
+
+
+def _down_t(i_arr, u, spec):
+    """One down level in the limb-leading (3L, k, m) layout:
+    o[2j+1] = i[j]; o[2j] = i[j] + neg(u[2j+1])  (mirrors `_down_kernel`)."""
+    odd = u[:, 1::2]
+    neg = jnp.concatenate([odd[:L], -odd[L:2 * L], odd[2 * L:]], axis=0)
+    even = _xadd(i_arr, neg, spec)
+    k = i_arr.shape[1]
+    return jnp.stack([even, i_arr], axis=2).reshape(
+        (3 * L, 2 * k) + i_arr.shape[2:])
+
+
+def _treetop_down_fn(lane_incl, x16, packed):
+    """Fused down-sweep of the small levels: global lane prefixes (3L, m)
+    + the 16-row level + the packed [L8|L4|L2|L1] -> (16, 3L, m) prefixes
+    at the 16-row level, one dispatch."""
+    spec = f8.FQ8
+    pk = jnp.transpose(packed, (1, 0, 2))                  # (3L, 15, m)
+    l8, l4, l2 = pk[:, :8], pk[:, 8:12], pk[:, 12:14]
+    x = jnp.transpose(x16, (1, 0, 2))                      # (3L, 16, m)
+    i_arr = lane_incl[:, None]                             # (3L, 1, m)
+    i_arr = _down_t(i_arr, l2, spec)
+    i_arr = _down_t(i_arr, l4, spec)
+    i_arr = _down_t(i_arr, l8, spec)
+    i_arr = _down_t(i_arr, x, spec)
+    return jnp.transpose(i_arr, (1, 0, 2))                 # (16, 3L, m)
+
+
+_k_treetop_down = aot_wrap("msm3.treetopdown", _treetop_down_fn,
+                           deps=EC_KDEPS)
+
+
 def _tree(leaves, full: bool = True):
     """Global inclusive point-prefixes of (S0, 3L, M0) leaves (element
     order pos = m*S0 + s, so lanes cover contiguous ranges).
@@ -365,6 +414,21 @@ def _tree(leaves, full: bool = True):
     # not-full mode never revisits the leaves: drop the only remaining
     # reference right after the first up round (the caller drops its own)
     levels = [x if full else None]
+    if x.shape[0] >= 32:
+        # big levels as per-level Pallas dispatches down to 16 rows; the
+        # small levels (<= 16 rows, dispatch-overhead-bound) run fused
+        while x.shape[0] > 16:
+            x = _up_call(x.shape[0] // 2, x.shape[-1])(x)
+            levels.append(x)
+        packed = _k_treetop_up(x)
+        lane_incl = _prefix_cols(packed[14])
+        i_arr = _k_treetop_down(lane_incl, x, packed)
+        # x (the 16-row level) was consumed by the treetop; the remaining
+        # down inputs are every level still in `levels` (32 rows and up)
+        stop = 0 if full else 1
+        for lvl in reversed(levels[stop:]):
+            i_arr = _down_call(i_arr.shape[0], i_arr.shape[-1])(i_arr, lvl)
+        return i_arr
     while x.shape[0] > 1:
         x = _up_call(x.shape[0] // 2, x.shape[-1])(x)
         levels.append(x)
@@ -376,14 +440,20 @@ def _tree(leaves, full: bool = True):
     return i_arr
 
 
+_LADDER_MAX = 32768
+
+
 def _prefix_cols(v):
     """Inclusive point-prefix along columns of a stacked (3L, n) array.
-    n is identity-padded to a power of two; <=128 columns run as one
-    AOT-cached XLA Hillis-Steele ladder, larger sizes reorder into the
-    (np2//128, 3L, 128) tree layout and recurse."""
+    n is identity-padded to a power of two; up to _LADDER_MAX columns run
+    as ONE AOT-cached XLA Hillis-Steele ladder dispatch (the recursive
+    tree path below costs ~25 tiny dispatches at ~5-35 ms each on axon --
+    182 ms measured for 5120 lanes on 10 KB of data, round-3 profile);
+    larger sizes reorder into the (np2//128, 3L, 128) tree layout and
+    recurse."""
     n = v.shape[-1]
     np2 = max(2, 1 << (n - 1).bit_length())
-    if np2 <= 128:
+    if np2 <= _LADDER_MAX:
         return _ladder_call(n)(v)
     if np2 != n:
         v = jnp.concatenate([v, _ident_cols(np2 - n)], axis=1)
@@ -482,6 +552,18 @@ def _ctail_fn(red, acc_s, acc_t, totals):
 _k_ctail = aot_wrap("msm3.ctail", _ctail_fn, deps=EC_KDEPS)
 
 
+def _k_collect(t, acc_s, acc_t, totals):
+    """Collect tail: `_up_call` pairwise reductions + `_k_ctail`.  (A fused
+    one-dispatch version was tried in round 3 and abandoned: the unrolled
+    log-tree's ~16 inlined add bodies OOM-killed the remote compile helper
+    at B=4, and a rolled fori variant would serialize ~255 adds at the
+    ~0.5 ms/step scan latency.  The dispatch chain pipelines fine.)"""
+    nb = acc_s.shape[-1]
+    while t.shape[0] > nb:
+        t = _up_call(t.shape[0] // 2, 128)(t)
+    return _k_ctail(t, acc_s, acc_t, totals)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -497,10 +579,7 @@ def _chunk_run(scs, base_sh, acc_s, acc_t):
     i1 = _tree(holder.pop(), full=False)
     t, totals = _k_cgather(sorted_k, perm, i1, base_sh, acc_s)
     del i1
-    nb = acc_s.shape[-1]
-    while t.shape[0] > nb:
-        t = _up_call(t.shape[0] // 2, 128)(t)
-    return _k_ctail(t, acc_s, acc_t, totals)
+    return _k_collect(t, acc_s, acc_t, totals)
 
 
 def _finalize_host(acc_s, acc_t):

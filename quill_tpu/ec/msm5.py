@@ -289,17 +289,18 @@ def _tree5(leaves):
     """Prefix tree over (S, 2L, M0) bf16 affine leaves, stopping the
     down-sweep at the 2-node level (msm3 `_tree(full=False)` semantics) --
     leaf-level prefixes are derived in the collect with a gathered affine
-    correction.  Returns i1 (S/2, 3L, M0) f32."""
+    correction.  Small levels (<= 16 rows) run fused (`_k_treetop_up/down`,
+    one dispatch each).  Returns i1 (S/2, 3L, M0) f32."""
     x = _up0_call(leaves.shape[0] // 2, leaves.shape[-1])(leaves)
     del leaves
-    levels = [None, None]  # leaf + first (already consumed for full=False)
-    while x.shape[0] > 1:
+    levels = []            # down inputs: 32-row level and up (2-node stop)
+    while x.shape[0] > 16:
         levels.append(x)
         x = msm3._up_call(x.shape[0] // 2, x.shape[-1])(x)
-    levels.append(x)
-    lane_incl = msm3._prefix_cols(x[0])
-    i_arr = lane_incl[None]
-    for lvl in reversed(levels[2:-1]):
+    packed = msm3._k_treetop_up(x)
+    lane_incl = msm3._prefix_cols(packed[14])
+    i_arr = msm3._k_treetop_down(lane_incl, x, packed)
+    for lvl in reversed(levels):
         i_arr = msm3._down_call(i_arr.shape[0], i_arr.shape[-1])(i_arr, lvl)
     return i_arr
 
@@ -355,10 +356,7 @@ def _chunk_run(scs, base_b16, inf, acc_s, acc_t):
     del leaves
     t, totals = _k_cgather(sorted_k, perm, i1, base_b16, acc_s)
     del i1
-    nb = acc_s.shape[-1]
-    while t.shape[0] > nb:
-        t = msm3._up_call(t.shape[0] // 2, 128)(t)
-    return msm3._k_ctail(t, acc_s, acc_t, totals)
+    return msm3._k_collect(t, acc_s, acc_t, totals)
 
 
 def msm_device(basis: msm12.DeviceBasis, scalar_chunks: list, length: int):

@@ -935,7 +935,7 @@ class TpuEngine:
         (msm8) regardless of the configured impl."""
         import os
 
-        impl = os.environ.get("QUILL_MSM_IMPL", "3")
+        impl = os.environ.get("QUILL_MSM_IMPL", "5")
         limit = int(os.environ.get("QUILL_MSM_SHIFT_MAX", str(1 << 21)))
         nch = len(getattr(basis, "x_chunks", ()) or ())
         if impl in ("3", "4", "5") and nch * CHUNK > limit:
