@@ -29,6 +29,7 @@ chunks are repacked lazily, cached on the basis object).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -88,10 +89,22 @@ def basis8(basis: msm12.DeviceBasis):
         cache = {}
         root._b8_chunks = cache
     nch = len(basis.x_chunks)
+    # Huge CRSes (2^24 cells = 2.95 GB of 12-bit chunks + 4.2 GB of the
+    # 8-bit repack) can't keep both resident: QUILL_BASIS8_DROP12=1 frees
+    # each 12-bit chunk once its 8-bit form exists.  Only safe when every
+    # MSM impl in the process uses the 8-bit basis (the > QUILL_MSM_SHIFT_MAX
+    # routing guarantees that at these scales).
+    drop12 = os.environ.get("QUILL_BASIS8_DROP12") == "1"
     out = []
     for j in range(nch):
         if j not in cache:
             cache[j] = _k_to_f8_pair(basis.x_chunks[j], basis.y_chunks[j])
+            if drop12:
+                root.x_chunks[j] = None
+                root.y_chunks[j] = None
+                if basis is not root:  # slice lists hold their own refs
+                    basis.x_chunks[j] = None
+                    basis.y_chunks[j] = None
         out.append(cache[j])
     return out
 
