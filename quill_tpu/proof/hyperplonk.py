@@ -216,10 +216,28 @@ class HyperPlonk:
             zero_check_expr = zero_check_expr + Const(a) * expr
             a = a * alpha % R
 
+        # HBM relief for huge traces: the rows*cols-cell trace polynomials
+        # (full witness, id, perm -- committed during preprocess/prove) are
+        # idle until the permutation phase; spill them to host RAM through
+        # the zerocheck so its sumcheck state has headroom
+        import os as _os
+
+        spill = getattr(engine, "spill_vec", None)
+        big = (rows * cols).bit_length() - 1 >= int(
+            _os.environ.get("QUILL_SPILL_MIN_VARS", "23"))
+        if spill is not None and big:
+            for vec in (full_witness, pk.id_poly, pk.permutation_poly):
+                spill(vec)
+
         zero_check_virtual = store.new_virtual_from_expr(zero_check_expr)
         with phase("prove/zerocheck"):
             zero_check_proof, zc_claim = zerocheck.prove(
                 store, zero_check_virtual, transcript, release_inputs=True)
+
+        unspill0 = getattr(engine, "unspill_vec", None)
+        if unspill0 is not None and big:
+            for vec in (full_witness, pk.id_poly, pk.permutation_poly):
+                unspill0(vec)
 
         # permutation check on the whole trace as one polynomial
         # (`proof.rs:183-196`)
