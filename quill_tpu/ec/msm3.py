@@ -423,10 +423,12 @@ def _tree(leaves, full: bool = True):
         packed = _k_treetop_up(x)
         lane_incl = _prefix_cols(packed[14])
         i_arr = _k_treetop_down(lane_incl, x, packed)
-        # x (the 16-row level) was consumed by the treetop; the remaining
-        # down inputs are every level still in `levels` (32 rows and up)
+        # x (the 16-row level, levels[-1]) was consumed by the treetop; the
+        # remaining down inputs are the 32-row level and up (levels[:-1]),
+        # finest last -- mirroring `_tree5` (wiring covered by
+        # tests/test_msm_tree.py against integer-sum mocks)
         stop = 0 if full else 1
-        for lvl in reversed(levels[stop:]):
+        for lvl in reversed(levels[stop:-1]):
             i_arr = _down_call(i_arr.shape[0], i_arr.shape[-1])(i_arr, lvl)
         return i_arr
     while x.shape[0] > 1:

@@ -984,13 +984,22 @@ class TpuEngine:
         falls back to sequential `msm` when batching does not apply."""
         import os
 
-        impl = (self._msm_impl(jobs[0][0]) if jobs
-                else os.environ.get("QUILL_MSM_IMPL", "3"))
-
         def fallback():
             return [self.msm(b, s) for b, s in jobs]
 
-        if impl not in ("3", "4", "5") or len(jobs) <= 1:
+        if len(jobs) <= 1:
+            return fallback()
+        # the batched dispatch runs EVERY job over the widest basis, so the
+        # impl routing (shifted-basis HBM guard in `_msm_impl`) must be
+        # decided from the widest job, not jobs[0] -- a small basis first
+        # in line must not let a huge CRS materialize a shifted basis
+        if not all(getattr(b, "x_chunks", None) or not self._is_dev(s)
+                   for b, s in jobs):
+            return fallback()
+        widest_b = max((b for b, _ in jobs),
+                       key=lambda b: len(getattr(b, "x_chunks", ()) or ()))
+        impl = self._msm_impl(widest_b)
+        if impl not in ("3", "4", "5"):
             return fallback()
         if impl == "5":
             from ..ec import msm5 as msm_mod

@@ -106,10 +106,19 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     m_expr = (store.get_expr(multiplicities) if mode == LookupMode.SUBSET
               else Const(1))
 
+    # release_inputs below is only safe when BOTH h-sides substitute the
+    # materialized u-tables: a nonlinear h keeps its input tables as live
+    # sumcheck inputs, and nulling those store slots would break the
+    # "callers never re-read those slots" contract for whatever tables the
+    # h-expression references (e.g. a nonlinear lookup's source columns).
+    u_substituted = []
+
     def u_side(u_vec, h_ref):
         h_expr = store.get_expr(h_ref)
         if h_expr.degree() <= 1:
+            u_substituted.append(True)
             return store.allocate_polynomial(u_vec).to_expr()
+        u_substituted.append(False)
         return Const(logup_eval_point) + h_expr
 
     zerocheck_expr = (
@@ -146,9 +155,9 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
                     spill(vec)
 
     with phase("multiset/sumcheck"):
-        sumcheck_proof, sc_claim = sumcheck.prove(num_vars, store, h_hat, 0,
-                                                  transcript,
-                                                  release_inputs=True)
+        sumcheck_proof, sc_claim = sumcheck.prove(
+            num_vars, store, h_hat, 0, transcript,
+            release_inputs=all(u_substituted))
     evaluation_point = sc_claim.point
 
     with phase("multiset/opens"):

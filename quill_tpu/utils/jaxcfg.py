@@ -49,8 +49,25 @@ def configure_jax() -> None:
         "QUILL_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache",
                                         "quill_tpu_jax_cache"))
     platforms = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" in platforms and "tpu" not in platforms \
-            and "axon" not in platforms:
+    if platforms:
+        is_cpu = ("cpu" in platforms and "tpu" not in platforms
+                  and "axon" not in platforms)
+    else:
+        # JAX_PLATFORMS unset: the process resolves to the axon TPU backend
+        # only when the relay plugin is dialed in (sitecustomize requires
+        # PALLAS_AXON_POOL_IPS and the `axon` module on the path); any
+        # other unset-platform process falls back to XLA:CPU and must use
+        # the per-machine cache subdir too (stale-AOT-blob hazard).
+        import importlib.util
+
+        has_axon = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+        if has_axon:
+            try:
+                has_axon = importlib.util.find_spec("axon") is not None
+            except (ImportError, ValueError):
+                has_axon = False
+        is_cpu = not has_axon
+    if is_cpu:
         cache_dir = f"{cache_dir}-cpu-{_host_fingerprint()}"
     try:
         os.makedirs(cache_dir, exist_ok=True)
