@@ -25,13 +25,33 @@ class TestBlake3:
         assert blake3_digest(official_input(1)).hex() == (
             "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213")
 
-    def test_multiblock_and_tree_regression(self):
-        # Pinned outputs of this implementation covering multi-block chunks
-        # (len 1024) and parent/tree nodes (len 3072); guards refactors.
+    def test_multiblock_and_tree_official(self):
+        # Official BLAKE3 test-vector digests (test_vectors.json, input
+        # bytes i % 251) covering multi-block chunks (len 1024) and
+        # parent/tree nodes (len 3072).
         assert blake3_digest(official_input(1024)).hex() == (
             "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7")
         assert blake3_digest(official_input(3072)).hex() == (
             "b98cb0ff3623be03326b373de6b9095218513e64f1ee2edd2525c7ad1e5cffd2")
+
+    def test_xof_official_131_bytes(self):
+        # Official BLAKE3 test vectors pin the full 131-byte XOF output
+        # (test_vectors.json "hash" fields are 131 bytes exactly to cover
+        # extended output); this validates the beyond-32-byte XOF blocks
+        # and output-counter increments the transcript's 48-byte challenge
+        # draws rely on.
+        assert blake3_xof(b"", 131).hex() == (
+            "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+            "e00f03e7b69af26b7faaf09fcd333050338ddfe085b8cc869ca98b206c08243a"
+            "26f5487789e8f660afe6c99ef9e0c52b92e7393024a80459cf91f476f9ffdbda"
+            "7001c22e159b402631f277ca96f2defdf1078282314e763699a31c5363165421"
+            "cce14d")
+        assert blake3_xof(official_input(1), 131).hex() == (
+            "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213"
+            "c3a6cb8bf623e20cdb535f8d1a5ffb86342d9c0b64aca3bce1d31f60adfa137b"
+            "358ad4d79f97b47c3d5e79f179df87a3b9776ef8325f8329886ba42f07fb138b"
+            "b502f4081cbcec3195c5871e6c23e2cc97d3c69a613eba131e5f1351f3f1da78"
+            "6545e5")
 
     def test_xof_prefix_property(self):
         full = blake3_xof(b"quill", 200)

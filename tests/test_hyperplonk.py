@@ -116,21 +116,37 @@ class TestHyperPlonk:
         with pytest.raises(ValueError):
             hp.prove([trace])
 
-    def test_broken_state_continuity_rejected(self):
-        # violates the copy constraint wired through the permutation
+    def test_broken_state_continuity_rejected(self, monkeypatch):
+        """A witness that satisfies every in-row constraint but breaks the
+        state continuity next[4] = current[5] must be rejected by the
+        PERMUTATION argument alone (mirrors the witness-corruption posture
+        of `permutation_check.rs:253` at the e2e level).
+
+        check_constraints would catch it host-side, so it is patched out --
+        the prover then produces an HONEST proof of the bad witness and the
+        verifier must reject it."""
         circuit, trace = get_fibonacci_circuit_and_trace()
-        s1_cur, s1_next = 0, 1
-        # change next[4] AND current[5] consistently with the recurring
-        # constraints is impossible; instead bypass check_constraints by
-        # patching it out and confirm the permutation argument catches it
-        trace.columns[s1_next][4] = (trace.columns[s1_next][4] + 0) % R
+        s1_cur, s1_next, s2_cur, s2_next = 0, 1, 2, 3
+        cols = trace.columns
+        # break the 4->5 seam of s1, then recompute rows 5..7 so all
+        # recurring constraints (and rows>=5 continuity) hold again
+        cols[s1_cur][5] = (cols[s1_next][4] + 1) % R
+        for row in range(5, 8):
+            if row > 5:
+                cols[s1_cur][row] = cols[s1_next][row - 1]
+                cols[s2_cur][row] = cols[s2_next][row - 1]
+            cols[s1_next][row] = cols[s2_cur][row]
+            cols[s2_next][row] = (cols[s1_cur][row] + cols[s2_cur][row]) % R
+        # in-row constraints all hold; only continuity is broken
+        with pytest.raises(ValueError, match="Permutation constraint"):
+            circuit.check_constraints(cols)
+        monkeypatch.setattr(TransitionCircuit, "check_constraints",
+                            lambda self, w: None)
+        circuit.check_constraints(cols)      # patched out
+
         pcs = make_pcs([circuit])
         hp = HyperPlonk.preprocess([circuit], pcs)
         proof = hp.prove([trace])
-
-        # mutate the proof: corrupt a witness opening evaluation
-        proof.trace_proofs[0].openings_zero_check[0].evaluation = (
-            proof.trace_proofs[0].openings_zero_check[0].evaluation + 1) % R
         with pytest.raises(ValueError):
             hyperplonk.verify(proof, hp.to_vk(), pcs)
 
