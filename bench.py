@@ -46,11 +46,11 @@ def bench_msm(log2n: int):
     from quill_tpu.ec.fixed_base import device_tau_powers
     from quill_tpu.fields.bn254 import R
 
-    impl = os.environ.get("QUILL_MSM_IMPL", "5")
-    if impl == "5":
+    impl = os.environ.get("QUILL_MSM_IMPL", "6")
+    if impl == "6":
+        from quill_tpu.ec import msm6 as msm_run
+    elif impl == "5":
         from quill_tpu.ec import msm5 as msm_run
-    elif impl == "4":
-        from quill_tpu.ec import msm4 as msm_run
     elif impl == "3":
         from quill_tpu.ec import msm3 as msm_run
     elif impl == "8":
@@ -89,7 +89,18 @@ def bench_msm(log2n: int):
         times.append(time.time() - t0)
     t_msm = min(times)
     log(f"MSM 2^{log2n}: {t_msm:.3f}s  ({n / t_msm / 1e6:.2f} M points/s)")
-    return n / t_msm, t_msm, t_crs, res
+
+    # amortized batched-MSM number (the prover issues opens in batches)
+    t_batch = None
+    if hasattr(msm_run, "msm_device_batch"):
+        batch = [sc_chunks] * 4
+        msm_run.msm_device_batch(basis, batch)      # warmup
+        t0 = time.time()
+        msm_run.msm_device_batch(basis, batch)
+        t_batch = time.time() - t0
+        log(f"MSM batch x4 2^{log2n}: {t_batch:.3f}s "
+            f"({4 * n / t_batch / 1e6:.2f} M points/s amortized)")
+    return n / t_msm, t_msm, t_crs, t_batch, res
 
 
 def bench_sumcheck_round(log2n: int):
@@ -240,31 +251,27 @@ def bench_logup(log2n: int, extra):
     _cold_warm(extra, "logup_multiset_prove_2^%d" % log2n, run)
 
 
-def bench_full_prove(log2rows: int, extra):
-    """BASELINE config 5 proxy at bench scale: full HyperPlonk prove+verify
-    (Fibonacci transition circuit, copy constraints), cold + warm.  The
-    north-star 2^22-row multi-table run does not fit the bench window; it
-    runs via `scripts/prove_tpu.py` with timings recorded in BASELINE.md --
-    this entry keeps a full-pipeline number in the driver artifact."""
-    from quill_tpu.engine.device import TpuEngine
+def _fibonacci_pair(log2rows: int):
+    """Two DISTINCT transition circuits + traces (the BASELINE config-5
+    wording is 'multi-table with copy constraints'): plain Fibonacci and
+    the nonlinear f(n) = f(n-1) + f(n-1)*f(n-2) variant with a mul gate,
+    both with state-cell continuity through the permutation
+    (`test_basic_proof.rs:17-105` workloads at bench scale)."""
     from quill_tpu.fields.bn254 import R
     from quill_tpu.frontend.transition_circuit import TransitionCircuit
-    from quill_tpu.pcs.kzg import KZG
-    from quill_tpu.pcs.mlpcs import MultilinearPCS
     from quill_tpu.piops.virtual_poly import Const
-    from quill_tpu.proof import hyperplonk
-    from quill_tpu.proof.hyperplonk import HyperPlonk, TraceWitness
+    from quill_tpu.proof.hyperplonk import TraceWitness
 
     rows = 1 << log2rows
-    circuit = TransitionCircuit.new(rows)
-    s1 = circuit.allocate_state_cell()
-    s2 = circuit.allocate_state_cell()
-    circuit.enforce_boundary_constraint(0, s1.current.to_expr())
-    circuit.enforce_boundary_constraint(0, s2.current.to_expr() - Const(1))
-    circuit.enforce_constraint(
+    c1 = TransitionCircuit.new(rows)
+    s1 = c1.allocate_state_cell()
+    s2 = c1.allocate_state_cell()
+    c1.enforce_boundary_constraint(0, s1.current.to_expr())
+    c1.enforce_boundary_constraint(0, s2.current.to_expr() - Const(1))
+    c1.enforce_constraint(
         s2.next.to_expr() - (s1.current.to_expr() + s2.current.to_expr()))
-    circuit.enforce_constraint(s1.next.to_expr() - s2.current.to_expr())
-    w = [[0] * rows for _ in range(circuit.num_cols())]
+    c1.enforce_constraint(s1.next.to_expr() - s2.current.to_expr())
+    w = [[0] * rows for _ in range(c1.num_cols())]
     a, b = 0, 1
     for row in range(rows):
         w[s1.current.col][row] = a
@@ -272,17 +279,65 @@ def bench_full_prove(log2rows: int, extra):
         w[s1.next.col][row] = b
         w[s2.next.col][row] = (a + b) % R
         a, b = b, (a + b) % R
-    trace = TraceWitness(columns=w)
+    t1 = TraceWitness(columns=w)
+
+    c2 = TransitionCircuit.new(rows)
+    u1 = c2.allocate_state_cell()
+    u2 = c2.allocate_state_cell()
+    tmp = c2.allocate_witness_cell()
+    c2.enforce_boundary_constraint(0, u1.current.to_expr() - Const(1))
+    c2.enforce_boundary_constraint(0, u2.current.to_expr() - Const(1))
+    c2.enforce_constraint(
+        tmp.to_expr() - u1.current.to_expr() * u2.current.to_expr())
+    c2.enforce_constraint(
+        u2.next.to_expr() - (u1.current.to_expr() + tmp.to_expr()))
+    c2.enforce_constraint(u1.next.to_expr() - u2.current.to_expr())
+    w2 = [[0] * rows for _ in range(c2.num_cols())]
+    a, b = 1, 1
+    for row in range(rows):
+        t = a * b % R
+        w2[u1.current.col][row] = a
+        w2[u2.current.col][row] = b
+        w2[tmp.col][row] = t
+        w2[u1.next.col][row] = b
+        w2[u2.next.col][row] = (a + t) % R
+        a, b = b, (a + t) % R
+    t2 = TraceWitness(columns=w2)
+    return [c1, c2], [t1, t2]
+
+
+def bench_full_prove(log2rows: int, extra):
+    """BASELINE config 5 at bench scale: full HyperPlonk MULTI-TABLE
+    prove+verify (two distinct circuits, copy constraints in both), cold +
+    warm, with the per-phase wall-clock breakdown in the JSON.  The
+    north-star 2^22-row run does not fit the bench window; it runs via
+    `scripts/prove_tpu.py` with timings recorded in BASELINE.md."""
+    from quill_tpu.engine.device import TpuEngine
+    from quill_tpu.pcs.kzg import KZG
+    from quill_tpu.pcs.mlpcs import MultilinearPCS
+    from quill_tpu.proof import hyperplonk
+    from quill_tpu.proof.hyperplonk import HyperPlonk
+    from quill_tpu.utils.profiling import metrics
+
+    circuits, traces = _fibonacci_pair(log2rows)
     eng = TpuEngine()
-    max_degree = circuit.num_cols() * circuit.num_rows()
+    max_degree = max(c.num_cols() * c.num_rows() for c in circuits)
     pcs = MultilinearPCS(KZG.device_setup(eng, max_degree))
-    hp = HyperPlonk.preprocess([circuit], pcs)
+    hp = HyperPlonk.preprocess(circuits, pcs)
 
     def run():
-        proof = hp.prove([trace])
+        proof = hp.prove(traces)
         hyperplonk.verify(proof, hp.to_vk(), pcs, batch_pairings=True)
 
-    _cold_warm(extra, "hyperplonk_prove_verify_2^%d_rows" % log2rows, run)
+    key = "hyperplonk_multitable_2^%d_rows" % log2rows
+    _cold_warm(extra, key, run)
+    # phase attribution of the WARM run (metrics reset between runs)
+    metrics.reset()
+    run()
+    phases = {k: v["total_sec"] for k, v in metrics.report().items()}
+    top = dict(sorted(phases.items(), key=lambda kv: -kv[1])[:12])
+    extra[key + "_phases"] = top
+    log(f"{key} phases: {top}")
 
 
 _RESULT = {
@@ -332,9 +387,12 @@ def main():
     extra = _RESULT["extra"]
 
     # ---- headline FIRST: everything after this is gravy ----
-    pts_per_sec, t_msm, t_crs, _ = bench_msm(log2n)
+    pts_per_sec, t_msm, t_crs, t_batch, _ = bench_msm(log2n)
     extra["msm_sec_2^%d" % log2n] = round(t_msm, 4)
     extra["crs_gen_sec"] = round(t_crs, 2)
+    if t_batch is not None:
+        extra["msm_batch4_sec_2^%d" % log2n] = round(t_batch, 4)
+        extra["msm_batch4_pts_per_sec"] = round(4 * (1 << log2n) / t_batch, 1)
     _RESULT["value"] = round(pts_per_sec, 1)
     _RESULT["vs_baseline"] = round(
         pts_per_sec / ARKWORKS_CPU_MSM_2E20_POINTS_PER_SEC, 3)
@@ -377,7 +435,7 @@ def main():
     if os.environ.get("QUILL_BENCH_FULL", "1") != "0":
         try:
             bench_full_prove(
-                int(os.environ.get("QUILL_BENCH_ROWS_LOG2", "12")), extra)
+                int(os.environ.get("QUILL_BENCH_ROWS_LOG2", "14")), extra)
         except Exception as e:
             log(f"full-prove bench failed: {e!r}")
 

@@ -935,20 +935,24 @@ class TpuEngine:
         (msm8) regardless of the configured impl."""
         import os
 
-        impl = os.environ.get("QUILL_MSM_IMPL", "5")
-        limit = int(os.environ.get("QUILL_MSM_SHIFT_MAX", str(1 << 21)))
+        impl = os.environ.get("QUILL_MSM_IMPL", "6")
+        # v6 holds basis + leaves + all tree levels resident (~15 GB at
+        # 2^21 points); its shift cap defaults one notch lower
+        default_limit = 1 << 20 if impl == "6" else 1 << 21
+        limit = int(os.environ.get("QUILL_MSM_SHIFT_MAX",
+                                   str(default_limit)))
         nch = len(getattr(basis, "x_chunks", ()) or ())
-        if impl in ("3", "4", "5") and nch * CHUNK > limit:
+        if impl in ("3", "5", "6") and nch * CHUNK > limit:
             return "8"
         return impl
 
     def msm(self, basis, scalars):
         from ..ec import curve
         impl = self._msm_impl(basis)
-        if impl == "5":
+        if impl == "6":
+            from ..ec import msm6 as msm_mod
+        elif impl == "5":
             from ..ec import msm5 as msm_mod
-        elif impl == "4":
-            from ..ec import msm4 as msm_mod
         elif impl == "3":
             from ..ec import msm3 as msm_mod
         elif impl == "8":
@@ -999,12 +1003,12 @@ class TpuEngine:
         widest_b = max((b for b, _ in jobs),
                        key=lambda b: len(getattr(b, "x_chunks", ()) or ()))
         impl = self._msm_impl(widest_b)
-        if impl not in ("3", "4", "5"):
+        if impl not in ("3", "5", "6"):
             return fallback()
-        if impl == "5":
+        if impl == "6":
+            from ..ec import msm6 as msm_mod
+        elif impl == "5":
             from ..ec import msm5 as msm_mod
-        elif impl == "4":
-            from ..ec import msm4 as msm_mod
         else:
             from ..ec import msm3 as msm_mod
 

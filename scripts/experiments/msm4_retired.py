@@ -1,3 +1,8 @@
+"""RETIRED round-2 experiment (kept for the record, not importable from
+the package): the fused-dispatch MSM pipeline measured 3x slower than v3
+(BASELINE.md v4 post-mortem).  Moved out of quill_tpu in round 4 to keep
+the AOT-cache key surface and the live kernel set tight."""
+
 """Device Pippenger MSM v4: whole-MSM fused pipeline, ~6 dispatches per
 super-chunk.
 
