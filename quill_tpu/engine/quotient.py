@@ -171,11 +171,15 @@ def quotient_many_device(engine, jobs: list) -> list:
     ys = [_lazy_to_int(y_lazy[:, b]) for b in range(nb)]
     y_col = jnp.asarray(_mont_cols(ys))
 
-    # pass 2: combine into quotient chunks
+    # pass 2: combine into quotient chunks.  scans[j] is consumed (set to
+    # None) as its quotient lands: the stacked scans are B x poly-size of
+    # HBM (5.8 GB at B=4, 2^24 coeffs) and holding them across the whole
+    # pass doubled peak memory at config-5 scale.
     out_chunks: list[list] = [[] for _ in range(nb)]
     powi_carry = one_carry
     for j in range(nch):
         q = p2(scans[j], powxi_base, powi_carry, y_col, xinv_col)
+        scans[j] = None
         if j + 1 < nch:
             powi_carry = cmul(powi_carry, xic)
         for b in range(nb):

@@ -193,12 +193,19 @@ def _impl8() -> bool:
     return os.environ.get("QUILL_NTT_IMPL", "8") == "8"
 
 
-def ntt_chunks(chunks: list, inverse: bool = False) -> list:
+def ntt_chunks(chunks: list, inverse: bool = False,
+               consume: bool = False) -> list:
     """Transform a chunked vector (list of (22, CHUNK) Montgomery arrays).
     Forward: col-DIF over chunks -> step-2 twiddles -> in-chunk NTT.
     Inverse: exact reverse with inverse twiddles + 1/N scaling.
     Output (forward) is in a fixed internal permutation; inverse consumes
     that same permutation and returns natural coefficient order.
+
+    consume=True takes ownership of `chunks`: entries are rebound in place
+    as stages replace them, so each source chunk's HBM frees as soon as its
+    transform lands (the caller must not reuse the list).  At 2^24-product
+    scale every retained vector is ~1.5 GB -- the round-3 config-5 campaign
+    OOMed precisely on these transients (BASELINE.md item 6).
 
     In-chunk transform: the MXU matmul kernel (`poly/ntt8.py`, default) or
     the 12-bit VPU stage kernel (QUILL_NTT_IMPL=12).  The two differ in
@@ -220,7 +227,7 @@ def ntt_chunks(chunks: list, inverse: bool = False) -> list:
         ntt_k, intt_k = _get_chunk_kernels(LOG2_CHUNK)
 
     if not inverse:
-        x = list(chunks)
+        x = chunks if consume else list(chunks)
         # 1) chunk-level DIF FFT over the chunk index (length n1)
         #    stage s: blocks of size n1 >> s; w = root of order (n1 >> s)
         w1 = _root_of_unity(log2_n1) if log2_n1 > 0 else 1
@@ -241,15 +248,20 @@ def ntt_chunks(chunks: list, inverse: bool = False) -> list:
                 continue
             tw_vec = _powtable_chunk_fr(pow(w_n, k1, R))
             x[r] = _k_mul(x[r], tw_vec)
-        # 3) in-chunk NTT
+        # 3) in-chunk NTT (in place: each source chunk frees as its
+        # transform lands)
         tws = (None if use8
                else jnp.asarray(_stage_twiddles(LOG2_CHUNK, False)))
-        return [ntt_k(c, tws) for c in x]
+        for r in range(n1):
+            x[r] = ntt_k(x[r], tws)
+        return x
 
     # inverse: undo 3), then 2), then 1); scale by 1/N
     tws_inv = (None if use8
                else jnp.asarray(_stage_twiddles(LOG2_CHUNK, True)))
-    x = [intt_k(c, tws_inv) for c in chunks]
+    x = chunks if consume else list(chunks)
+    for r in range(n1):
+        x[r] = intt_k(x[r], tws_inv)
     if log2_n1 > 0:
         for r in range(n1):
             k1 = _bitrev(r, log2_n1)
@@ -282,7 +294,13 @@ def ntt_chunks(chunks: list, inverse: bool = False) -> list:
 def poly_mul_ntt(a_chunks: list, la: int, b_chunks: list, lb: int) -> list:
     """Full product of two chunked coefficient vectors (logical lengths la,
     lb; physical padding must be zero).  Returns chunks of length
-    >= la + lb - 1 (padded with exact zeros)."""
+    >= la + lb - 1 (padded with exact zeros).
+
+    Peak-HBM discipline (the 2^21-row prove's S-polys OOMed on this): the
+    transforms run with consume=True over fresh padded lists, the pointwise
+    product rebinds fa in place while popping fb entries, and the inverse
+    consumes the product -- at most TWO full-size vectors are ever live
+    here (the caller's originals are its own business)."""
     out_len = la + lb - 1
     n = CHUNK
     while n < out_len:
@@ -293,7 +311,10 @@ def poly_mul_ntt(a_chunks: list, la: int, b_chunks: list, lb: int) -> list:
         z = jnp.zeros((L, CHUNK), dtype=jnp.int32)
         return list(chs) + [z] * (n_target // CHUNK - len(chs))
 
-    fa = ntt_chunks(pad_to(a_chunks, n))
-    fb = ntt_chunks(pad_to(b_chunks, n))
-    fc = [_k_mul(x, y) for x, y in zip(fa, fb)]
-    return ntt_chunks(fc, inverse=True)
+    fa = ntt_chunks(pad_to(a_chunks, n), consume=True)
+    fb = ntt_chunks(pad_to(b_chunks, n), consume=True)
+    for j in range(nch):
+        fa[j] = _k_mul(fa[j], fb[j])
+        fb[j] = None
+    del fb
+    return ntt_chunks(fa, inverse=True, consume=True)
