@@ -25,10 +25,11 @@ Design rules (and why the proofs stay byte-identical):
 - vectors below `min_device_size` live on the exact host engine (the same
   hybrid-tail rule the single-chip TpuEngine uses).
 
-Sequential host pieces (synthetic division, batch inversion, S-polynomial
-products) currently round-trip through the host engine -- exact, and fine
-for the dryrun scale; the single-chip TpuEngine remains the performance
-path for those kernels on one real chip.
+Batch inversion and synthetic division (quotient-by-linear) run as sharded
+device scans (Hillis-Steele ladders whose shifted concats become GSPMD halo
+exchanges); only the S-polynomial NTT products still round-trip through the
+host engine -- exact, and fine for the dryrun scale.  The single-chip
+TpuEngine remains the performance path on one real chip.
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ import jax.numpy as jnp  # noqa: E402
 from ..engine.host import HostEngine  # noqa: E402
 from ..fields import device as fd  # noqa: E402
 from ..fields.bn254 import R  # noqa: E402
+from ..fields.scalar import inv  # noqa: E402
 from ..fields.limbs import ints_to_limbs, limbs_to_ints  # noqa: E402
 from . import msm as pmsm  # noqa: E402
 from .mesh import shard_elements  # noqa: E402
@@ -334,13 +336,117 @@ class ShardedEngine:
         blocks = self._jit_inner_blocks(bs)(a.arr, b.arr)
         return self._lazy_blocks_to_int(np.asarray(blocks))
 
+    @lru_cache(maxsize=None)
+    def _jit_ladder(self, op: str, suffix: bool, exclusive: bool = False):
+        """Sharded scan as a TWO-LEVEL block scan: local Hillis-Steele
+        ladders along the per-shard axis (slices on an unsharded dim are
+        always legal under explicit sharding), one reshard of the ndev
+        block totals to replicated, a tiny unrolled cross-block combine,
+        and a broadcast combine back onto the sharded blocks -- the
+        textbook distributed scan, with ONE collective instead of log(n)
+        halo exchanges.  Combine bodies are trace-once jitted fd ops."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if op == "mul":
+            comb = lambda a, b: fd.mont_mul(a, b, SPEC)      # noqa: E731
+            ident_np = _mont_const(1)
+        else:
+            comb = lambda a, b: fd.add(a, b, SPEC)           # noqa: E731
+            ident_np = np.zeros((L, 1), np.int32)
+        repl = NamedSharding(self.mesh, P(None, None, None))
+        ndev = self.ndev
+
+        def f(x):
+            n = x.shape[-1]
+            k = n // ndev
+            v = self._reshape_blocks(x, ndev, k)     # (L, ndev, k)
+            ident3 = jnp.asarray(ident_np)[:, :, None]  # (L, 1, 1)
+
+            def shifted_by(v, sh):
+                pad = jnp.broadcast_to(ident3, (L, ndev, sh)).astype(v.dtype)
+                if suffix:
+                    return jnp.concatenate([v[..., sh:], pad], axis=-1)
+                return jnp.concatenate([pad, v[..., :-sh]], axis=-1)
+
+            idx = jax.lax.iota(jnp.int32, k)
+            sh = 1
+            while sh < k:
+                keep = (idx < k - sh) if suffix else (idx >= sh)
+                v = jnp.where(keep[None, None, :], comb(v, shifted_by(v, sh)),
+                              v)
+                sh *= 2
+            # per-block totals, replicated
+            tot = v[..., :1] if suffix else v[..., -1:]
+            tot = jax.sharding.reshard(tot, repl)    # (L, ndev, 1)
+            # exclusive cross-block offsets (static ndev-step loop)
+            offs = [jnp.broadcast_to(ident3[:, 0], (L, 1)).astype(v.dtype)]
+            order = range(ndev - 1, 0, -1) if suffix else range(ndev - 1)
+            for b in order:
+                offs.append(comb(offs[-1], tot[:, b]))
+            if suffix:
+                offs = offs[::-1]
+            off3 = jnp.stack(offs, axis=1)           # (L, ndev, 1) replicated
+            off3 = jax.sharding.reshard(off3, self._psb())
+            if exclusive:
+                v = shifted_by(v, 1)
+            out = comb(v, jnp.broadcast_to(off3, v.shape))
+            return jax.lax.reshape(out, (L, n), out_sharding=self._sh)
+
+        return jax.jit(f, out_shardings=self._sh)
+
+    @lru_cache(maxsize=None)
+    def _jit_binv_combine(self):
+        def f(pe, se, inv_col):
+            return fd.mont_mul(fd.mont_mul(pe, se, SPEC),
+                               jnp.broadcast_to(inv_col, pe.shape), SPEC)
+        return jax.jit(f, out_shardings=self._sh)
+
+    @lru_cache(maxsize=None)
+    def _jit_last_col(self):
+        """Last element of a sharded (L, n) array as a replicated (L,)
+        int64 -- via a masked sum (a width-1 slice on the sharded axis is
+        not implementable under explicit sharding)."""
+        def f(x):
+            n = x.shape[-1]
+            idx = jax.lax.iota(jnp.int32, n)
+            masked = jnp.where((idx == n - 1)[None, :], x, 0)
+            return jnp.sum(masked, axis=1)
+        return jax.jit(f)
+
+    @lru_cache(maxsize=None)
+    def _jit_mask_tail_one(self):
+        def f(x, length, one_col):
+            idx = jax.lax.iota(jnp.int32, x.shape[-1])
+            return jnp.where((idx < length)[None, :], x,
+                             jnp.broadcast_to(one_col, x.shape))
+        return jax.jit(f, out_shardings=self._sh)
+
     def batch_inverse(self, v):
-        # exact host inversion tail (logup tables; device inversion trees are
-        # a single-chip TpuEngine feature)
+        """Montgomery-trick batch inversion as sharded device scans
+        (prefix/suffix product ladders + ONE host inversion), mirroring the
+        single-chip TpuEngine pattern; falls back to the exact host path on
+        a zero element (same ZeroDivisionError contract would be opaque
+        through a device NaN)."""
         if not isinstance(v, SVec):
             return self.host.batch_inverse(v)
-        out = self.host.batch_inverse(self._demote(v))
-        return self._promote(out)
+        one_col = jnp.asarray(_mont_const(1))
+        arr = self._jit_mask_tail_one()(v.arr, jnp.asarray(v.length,
+                                                          jnp.int32),
+                                        one_col)
+        pe = self._jit_ladder("mul", False, True)(arr)   # exclusive prefix
+        se = self._jit_ladder("mul", True, True)(arr)    # exclusive suffix
+        # total = (product of all but last) * last, combined on the host
+        pe_last = fd.host_col_to_int(
+            np.asarray(self._jit_last_col()(pe))[:, None], R)
+        x_last = fd.host_col_to_int(
+            np.asarray(self._jit_last_col()(arr))[:, None], R)
+        total = pe_last * x_last % R
+        if total == 0:
+            out = self.host.batch_inverse(self._demote(v))
+            return self._promote(out)
+        inv_col = jnp.asarray(_mont_const(inv(total, R)))
+        out = self._jit_binv_combine()(pe, se, inv_col)
+        return SVec(arr=out, length=v.length)
 
     # ---- multilinear ops ----------------------------------------------------
 
@@ -535,11 +641,74 @@ class ShardedEngine:
         out = self.host.poly_mul(a, b)
         return self._promote(out) if dev else out
 
+    @lru_cache(maxsize=None)
+    def _jit_powtable(self, log2n: int):
+        def f(pow_stack):
+            n = 1 << log2n
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            acc = jnp.broadcast_to(
+                jnp.asarray(SPEC.one_mont, jnp.int32)[:, None],
+                (L, n)).astype(jnp.int32)
+            for k in range(log2n):
+                mult = fd.mont_mul(
+                    acc, jnp.broadcast_to(pow_stack[k], acc.shape), SPEC)
+                acc = jnp.where(((idx >> k) & 1).astype(bool), mult, acc)
+            return acc
+        return jax.jit(f, out_shardings=self._sh)
+
+    def _powtable_sharded(self, x: int, n: int):
+        log2n = (n - 1).bit_length()
+        assert (1 << log2n) == n
+        pows, cur = [], x % R
+        for _ in range(log2n):
+            pows.append(_mont_const(cur))
+            cur = cur * cur % R
+        stack = jnp.asarray(np.stack(pows, axis=0)) if pows else \
+            jnp.zeros((0, L, 1), jnp.int32)
+        return self._jit_powtable(log2n)(stack)
+
+    @lru_cache(maxsize=None)
+    def _jit_quot_w(self):
+        return jax.jit(lambda c, powx: fd.mont_mul(c, powx, SPEC),
+                       out_shardings=self._sh)
+
+    @lru_cache(maxsize=None)
+    def _jit_quot_combine(self):
+        def f(p_incl, y_col, powxi, xinv_col, length):
+            shape = p_incl.shape
+            diff = fd.sub(jnp.broadcast_to(y_col, shape), p_incl, SPEC)
+            q = fd.mont_mul(diff, powxi, SPEC)
+            q = fd.mont_mul(q, jnp.broadcast_to(xinv_col, shape), SPEC)
+            # keep the zero physical tail invariant (padded SVec slots)
+            idx = jax.lax.iota(jnp.int32, shape[-1])
+            return jnp.where((idx < length)[None, :], q,
+                             jnp.zeros_like(q))
+        return jax.jit(f, out_shardings=self._sh)
+
     def quotient_by_linear(self, coeffs, x: int):
+        """(y, q) with q = (p - y)/(X - x) as sharded device scans:
+        q_j = (p(x) - P_j) * x^{-(j+1)} with P_j the inclusive prefix of
+        c_t x^t (the TpuEngine scan-Horner pattern over one sharded
+        array).  Exact; host path for tiny/irregular vectors and x = 0."""
         dev = isinstance(coeffs, SVec)
-        host_c = self.vec_to_ints(coeffs) if dev else coeffs
-        y, q = self.host.quotient_by_linear(host_c, x)
-        return y, (self._promote(q) if dev else q)
+        n = coeffs.arr.shape[-1] if dev else 0
+        if not dev or x % R == 0 or n & (n - 1):
+            host_c = self.vec_to_ints(coeffs) if dev else coeffs
+            y, q = self.host.quotient_by_linear(host_c, x)
+            return y, (self._promote(q) if dev else q)
+        x = x % R
+        xinv = inv(x, R)
+        powx = self._powtable_sharded(x, n)
+        w = self._jit_quot_w()(coeffs.arr, powx)
+        p_incl = self._jit_ladder("add", False)(w)
+        y = fd.host_col_to_int(
+            np.asarray(self._jit_last_col()(p_incl))[:, None], R)
+        powxi = self._powtable_sharded(xinv, n)
+        q = self._jit_quot_combine()(
+            p_incl, jnp.asarray(_mont_const(y)), powxi,
+            jnp.asarray(_mont_const(xinv)),
+            jnp.asarray(coeffs.length, jnp.int32))
+        return y, SVec(arr=q, length=coeffs.length)
 
     # ---- curve ops ------------------------------------------------------------
 

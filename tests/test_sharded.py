@@ -156,3 +156,43 @@ def test_sharded_engine_full_prove_byte_identical():
     sharded_bytes = prove_with(ShardedEngine(mesh, min_device_size=16))
     assert sharded_bytes == host_bytes, \
         "sharded HyperPlonk proof bytes differ from host prover"
+
+
+def test_sharded_batch_inverse_and_quotient_device_paths():
+    """The round-4 device scans (batch inversion + quotient-by-linear) must
+    equal the exact host engine, including the padded-tail paths -- and must
+    actually run on the SVec (not silently demote)."""
+    import jax
+    import numpy as np
+
+    from quill_tpu.parallel import mesh as mesh_mod
+    from quill_tpu.parallel.engine import ShardedEngine, SVec
+
+    mesh = mesh_mod.make_mesh(8)
+    eng = ShardedEngine(mesh)
+    rng = random.Random(0)
+
+    for n in (1 << 10, 1000):     # aligned and padded physical widths
+        xs = [rng.randrange(1, R) for _ in range(n)]
+        v = eng.vec_from_ints(xs)
+        assert isinstance(v, SVec)
+        out = eng.batch_inverse(v)
+        assert isinstance(out, SVec)
+        got = [int(g) for g in eng.vec_to_ints(out)]
+        assert got == [pow(x, R - 2, R) for x in xs]
+
+    coeffs = [rng.randrange(R) for _ in range(1 << 10)]
+    x = rng.randrange(1, R)
+    cv = eng.vec_from_ints(coeffs)
+    y, q = eng.quotient_by_linear(cv, x)
+    yh, qh = eng.host.quotient_by_linear(eng.host.vec_from_ints(coeffs), x)
+    assert y == yh
+    assert isinstance(q, SVec)
+    qi = [int(g) for g in eng.vec_to_ints(q)]
+    qhi = [int(g) for g in qh]
+    assert qi[:len(qhi)] == qhi
+    # q(x)*(X - x) + y must reproduce p -- independent polynomial identity
+    check = rng.randrange(R)
+    qx = eng.host.poly_eval(eng.host.vec_from_ints(qi), check)
+    px = eng.host.poly_eval(eng.host.vec_from_ints(coeffs), check)
+    assert (qx * (check - x) + y) % R == px % R
