@@ -944,6 +944,13 @@ class TpuEngine:
         nch = len(getattr(basis, "x_chunks", ()) or ())
         if impl in ("3", "5", "6") and nch * CHUNK > limit:
             return "8"
+        # v6's fixed cost (65 k bucket queries + reduce, ~0.3 s) loses to
+        # v5's per-chunk pipeline below ~3 chunks (round-4 bench: KZG/IPA
+        # small-MSM configs regressed under v6-only routing); the v5
+        # shifted-basis cache this keeps alive is bounded by the 2-chunk cap
+        small = int(os.environ.get("QUILL_MSM_SMALL_CHUNKS", "2"))
+        if impl == "6" and 0 < nch <= small:
+            return "5"
         return impl
 
     def msm(self, basis, scalars):
