@@ -56,6 +56,19 @@ def test_modified_fibonacci_proof_bytes_golden():
     assert hashlib.sha256(data).hexdigest() == want_hash
 
 
+def test_open_group_size_invisible(monkeypatch):
+    """The fused-opening group size (`proof/hyperplonk._open_grouped`) is a
+    pure memory knob: proof bytes must be identical at every batch size."""
+    monkeypatch.setenv("QUILL_OPEN_BATCH", "1")
+    one = hashlib.sha256(
+        _prove_bytes(get_fibonacci_circuit_and_trace)).hexdigest()
+    monkeypatch.setenv("QUILL_OPEN_BATCH", "3")
+    three = hashlib.sha256(
+        _prove_bytes(get_fibonacci_circuit_and_trace)).hexdigest()
+    assert one == GOLDEN["fib"][0]
+    assert three == GOLDEN["fib"][0]
+
+
 def test_proof_bytes_roundtrip_reverify():
     data = _prove_bytes(get_fibonacci_circuit_and_trace)
     proof = proof_io.deserialize_proof(data)

@@ -187,3 +187,28 @@ class TestMLPCS:
         vt.append_g1(commitment)
         [vt.draw_field_element() for _ in range(enforced)]
         assert pcs.verify(commitment, proof, vt)
+
+    def test_open_many_byte_identical(self):
+        # the fused batch pipeline (shared eq tables, one quotient pass,
+        # one multi-MSM) must be transcript- AND proof-byte-identical to
+        # sequential `open` calls -- mixed points, repeated polys, and a
+        # repeated evaluation point exercising the eq-table cache
+        rng = random.Random(9)
+        num_vars = 4
+        polys = [ENGINE.vec_from_ints(
+            [rng.randrange(R) for _ in range(1 << num_vars)])
+            for _ in range(3)]
+        pcs = MultilinearPCS(setup(1 << num_vars))
+        pt_a = [rng.randrange(R) for _ in range(num_vars)]
+        pt_b = [rng.randrange(R) for _ in range(num_vars)]
+        items = [(polys[0], pt_a), (polys[1], pt_a), (polys[0], pt_b),
+                 (polys[2], pt_b)]
+
+        t_seq = Transcript(b"open-many")
+        seq = [pcs.open(p, pt, t_seq) for p, pt in items]
+        t_bat = Transcript(b"open-many")
+        bat = pcs.open_many(items, t_bat)
+
+        assert t_seq.state == t_bat.state
+        for a, b in zip(seq, bat):
+            assert a == b
