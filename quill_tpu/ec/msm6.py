@@ -188,8 +188,34 @@ def _shift_doubling16(root, j: int) -> jnp.ndarray:
                            axis=1)
 
 
+def _b6_cache_path(tau: int, j: int):
+    """Disk-cache path for one uint8 affine shifted chunk.  Deterministic
+    in (tau, j) and the window geometry; follows the same env contract as
+    `pcs/kzg._crs_cache_dir` (QUILL_CRS_CACHE=0 disables,
+    QUILL_CRS_CACHE_DIR overrides) without importing pcs from ec."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    if os.environ.get("QUILL_CRS_CACHE", "1") == "0":
+        return None
+    base = os.environ.get(
+        "QUILL_CRS_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "quill_tpu_crs"))
+    tag = hashlib.sha256(
+        b"b6u8" + tau.to_bytes(32, "little")
+        + j.to_bytes(8, "little") + W.to_bytes(2, "little")
+        + WBITS.to_bytes(2, "little") + CHUNK.to_bytes(4, "little")
+        + L.to_bytes(2, "little")).hexdigest()[:32]
+    return Path(base) / f"b6u8_{tag}.npy"
+
+
 def _gen_affine16(root, j: int) -> jnp.ndarray:
-    """(2L, W*CHUNK) uint8 affine shifted chunk (tau CRS: fixed-base)."""
+    """(2L, W*CHUNK) uint8 affine shifted chunk (tau CRS: fixed-base).
+
+    Tau chunks are disk-cached: per-process regeneration measured
+    260-490 s per 2^20 CRS, vs ~1.5 s/chunk to reload through the
+    45 MB/s tunnel (the round-4 "cheapest big win" item)."""
     from . import fixed_base as fb
     from ..fields.bn254 import R as FR_MOD
     from ..fields import device as fd12
@@ -198,6 +224,9 @@ def _gen_affine16(root, j: int) -> jnp.ndarray:
     tau = getattr(root, "tau", None)
     if tau is None:
         return _shift_doubling16(root, j)
+    path = _b6_cache_path(tau, j)
+    if path is not None and path.exists():
+        return jnp.asarray(np.load(path))
     pw_mont = getattr(root, "_b3_pw_mont", None)
     if pw_mont is None:
         powers = [1] * CHUNK
@@ -218,8 +247,14 @@ def _gen_affine16(root, j: int) -> jnp.ndarray:
         sc = msm3._k_scale_canon(pw_mont, c_mont)
         wins.append(fb._k_fixed_base_chunk(sc, *jt))
     norm = fb._batch_normalize([tuple(x) for x in wins])
-    return jnp.concatenate([_k_affpair_to_u8(x, y) for x, y in norm],
-                           axis=1)
+    out = jnp.concatenate([_k_affpair_to_u8(x, y) for x, y in norm],
+                          axis=1)
+    if path is not None:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.npy")
+        np.save(tmp, np.asarray(out))
+        tmp.replace(path)
+    return out
 
 
 def shifted_basis16(basis: msm12.DeviceBasis, nch: int | None = None

@@ -113,6 +113,72 @@ class MultilinearPCS:
             s_opening_inv=s_opening_inv,
         )
 
+    def open_many(self, items: list, transcript: Transcript) -> list:
+        """Batch of opens [(poly, eval_point), ...] with no transcript
+        events in between the KZG openings.  Byte-identical to sequential
+        `open` calls: per item, the transcript sees (point, evaluation,
+        s_comm) then draws r -- and since KZG openings never touch the
+        transcript, ALL 4*k of them defer to one fused `kzg.open_many`
+        (one stacked quotient pass + one multi-MSM), and the k
+        S-commitments fuse into one `commit_many`.  Items sharing an
+        evaluation point also share one eq-tensor table.
+
+        This is the round-4 opening-phase cut (VERDICT #6): the multiset
+        denominator pair and the permutation-phase (id, perm, witness)
+        triple each collapse from k sequential pipelines into one."""
+        from ..utils.profiling import phase
+
+        engine = self.engine
+        pr_cache: dict = {}
+
+        def pr_for(point):
+            key = tuple(x % R for x in point)
+            if key not in pr_cache:
+                with phase("mlpcs/eq_table"):
+                    pr_cache[key] = engine.eq_table(list(point))
+            return pr_cache[key]
+
+        evals, s_polys = [], []
+        for poly, point in items:
+            pr = pr_for(point)
+            with phase("mlpcs/inner"):
+                evals.append(engine.inner(poly, pr))
+            with phase("mlpcs/s_poly"):
+                s_polys.append(compute_s_polynomial(engine, poly, pr))
+        pr_cache.clear()
+        with phase("mlpcs/s_commit"):
+            s_comms = self.kzg.commit_many(s_polys)
+
+        jobs, rs = [], []
+        for (poly, point), evaluation, s_comm, s_poly in zip(
+                items, evals, s_comms, s_polys):
+            transcript.append_field_vec(point)
+            transcript.append_field(evaluation)
+            transcript.append_g1(s_comm)
+            r = transcript.draw_field_element()
+            r_inv = inv(r, R)
+            rs.append((r, r_inv))
+            jobs.extend([(poly, r), (poly, r_inv), (s_poly, r),
+                         (s_poly, r_inv)])
+
+        with phase("mlpcs/kzg_open_x4"):
+            opens = self.kzg.open_many(jobs)
+
+        out = []
+        for i, ((poly, point), evaluation, s_comm) in enumerate(
+                zip(items, evals, s_comms)):
+            po, poi, so, soi = opens[4 * i:4 * i + 4]
+            out.append(MLEvalProof(
+                evaluation_point=[x % R for x in point],
+                evaluation=evaluation,
+                s_comm=s_comm,
+                poly_opening=po,
+                poly_opening_inv=poi,
+                s_opening=so,
+                s_opening_inv=soi,
+            ))
+        return out
+
     def verify(self, commitment: curve.Jacobian, proof: MLEvalProof,
                transcript: Transcript) -> bool:
         """`MLEvalProof::verify` (`mlpcs.rs:126-161`)."""

@@ -161,8 +161,11 @@ def prove(store: Store, h_left: VirtualRef, h_right: VirtualRef,
     evaluation_point = sc_claim.point
 
     with phase("multiset/opens"):
-        opening_left = pcs.open(denom_left, evaluation_point, transcript)
-        opening_right = pcs.open(denom_right, evaluation_point, transcript)
+        # one fused pipeline (shared eq table, one quotient pass, one
+        # multi-MSM); byte-identical to two sequential opens
+        opening_left, opening_right = pcs.open_many(
+            [(denom_left, evaluation_point),
+             (denom_right, evaluation_point)], transcript)
 
     return (
         MultisetEqualityProof(

@@ -119,8 +119,9 @@ def prove(store_left: Store, h_left: VirtualRef,
         num_vars_right, store_right, sumcheck_virtual_right, claimed_sum_right,
         transcript)
 
-    opening_left = pcs.open(denom_left, claim_left.point, transcript)
-    opening_right = pcs.open(denom_right, claim_right.point, transcript)
+    opening_left, opening_right = pcs.open_many(
+        [(denom_left, claim_left.point), (denom_right, claim_right.point)],
+        transcript)
 
     proof = SetInclusionProof(
         denom_left_commitment=commitment_left,

@@ -259,31 +259,31 @@ class HyperPlonk:
                 unspill(vec)
 
         # witness openings at the zero-check point extended with column bits
-        # (`proof.rs:202-210`)
-        openings_zero_check = []
+        # (`proof.rs:202-210`); fused in memory-bounded groups (each open
+        # holds a full-size S-poly, so the group size caps peak HBM)
         with phase("prove/witness_openings"):
+            items = []
             for col in range(cols):
                 point = list(zc_claim.point)
                 for i in range(log2_cols):
                     point.append((col >> i) & 1)
-                openings_zero_check.append(
-                    pcs.open(full_witness, point, transcript))
+                items.append((full_witness, point))
+            openings_zero_check = _open_grouped(pcs, items, transcript)
 
         # public-column openings at the zero-check point (`proof.rs:213-219`)
-        openings_public = []
         publics = circuit.public_values()
-        for i in range(circuit.num_public_columns()):
-            vec = engine.vec_from_ints(publics[i])
-            openings_public.append(pcs.open(vec, zc_claim.point, transcript))
+        openings_public = _open_grouped(
+            pcs, [(engine.vec_from_ints(publics[i]), list(zc_claim.point))
+                  for i in range(circuit.num_public_columns())], transcript)
 
         # id / permutation / trace openings at the permutation-check point
-        # (`proof.rs:222-226`)
+        # (`proof.rs:222-226`): one fused pipeline, shared eq table
         with phase("prove/id_perm_trace_openings"):
-            opening_id = pcs.open(pk.id_poly, perm_point, transcript)
-            opening_permutation = pcs.open(pk.permutation_poly, perm_point,
-                                           transcript)
-            opening_permutation_trace = pcs.open(full_witness, perm_point,
-                                                 transcript)
+            (opening_id, opening_permutation,
+             opening_permutation_trace) = _open_grouped(
+                pcs, [(pk.id_poly, perm_point),
+                      (pk.permutation_poly, perm_point),
+                      (full_witness, perm_point)], transcript)
 
         return TraceProof(
             zero_check_proof=zero_check_proof,
@@ -351,17 +351,16 @@ class HyperPlonk:
         log2_cols_src = src_circ.num_cols().bit_length() - 1
         log2_cols_dst = dst_circ.num_cols().bit_length() - 1
         with phase("prove/lookup_openings"):
-            src_openings = [
-                pcs.open(full_traces[lk.src_trace],
-                         _extend_point(points.left, c, log2_cols_src),
-                         transcript)
-                for c in lk.src_cols]
-            dst_openings = [
-                pcs.open(full_traces[lk.dst_trace],
-                         _extend_point(points.right, c, log2_cols_dst),
-                         transcript)
-                for c in lk.dst_cols]
-            mult_opening = pcs.open(mult_vec, points.right, transcript)
+            src_openings = _open_grouped(
+                pcs, [(full_traces[lk.src_trace],
+                       _extend_point(points.left, c, log2_cols_src))
+                      for c in lk.src_cols], transcript)
+            dst_items = [(full_traces[lk.dst_trace],
+                          _extend_point(points.right, c, log2_cols_dst))
+                         for c in lk.dst_cols]
+            *dst_openings, mult_opening = _open_grouped(
+                pcs, dst_items + [(mult_vec, list(points.right))],
+                transcript)
 
         return CrossTableLookupProof(
             multiplicities_commitment=mult_commitment,
@@ -418,6 +417,27 @@ class HyperPlonk:
 
 
 # -- verification ------------------------------------------------------------
+
+
+def _open_grouped(pcs, items: list, transcript) -> list:
+    """Run `pcs.open_many` over `items` in memory-bounded groups.
+
+    Each in-flight open holds a full-size S-polynomial, so the group size
+    caps peak HBM: default 8 opens per group up to 2^20-element polys,
+    2 above (the 2^23-cell scale campaign ceiling); QUILL_OPEN_BATCH
+    overrides.  Group boundaries are transcript-invisible (the fused
+    pipeline is byte-identical to sequential opens)."""
+    import os
+
+    if not items:
+        return []
+    num_vars = max(len(point) for _, point in items)
+    default = 8 if num_vars <= 20 else 2
+    bs = max(1, int(os.environ.get("QUILL_OPEN_BATCH", str(default))))
+    out = []
+    for i in range(0, len(items), bs):
+        out.extend(pcs.open_many(items[i:i + bs], transcript))
+    return out
 
 
 def _extend_point(point: list[int], col: int, log2_cols: int) -> list[int]:
