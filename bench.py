@@ -47,7 +47,9 @@ def bench_msm(log2n: int):
     from quill_tpu.fields.bn254 import R
 
     impl = os.environ.get("QUILL_MSM_IMPL", "6")
-    if impl == "6":
+    if impl == "7":
+        from quill_tpu.ec import msm7 as msm_run
+    elif impl == "6":
         from quill_tpu.ec import msm6 as msm_run
     elif impl == "5":
         from quill_tpu.ec import msm5 as msm_run
@@ -76,11 +78,11 @@ def bench_msm(log2n: int):
     sc_chunks = [jnp.asarray(rand_scalar_limbs(rng, msm_mod.CHUNK))
                  for _ in range(n // msm_mod.CHUNK)]
 
-    # warmup (compiles)
+    # warmup (compiles + AOT export loads + shifted-basis build)
     t0 = time.time()
     res = msm_run.msm_device(basis, sc_chunks, n)
-    t_warm = time.time() - t0
-    log(f"MSM warmup (incl. compile): {t_warm:.2f}s")
+    t_warmup = time.time() - t0
+    log(f"MSM warmup (incl. compile): {t_warmup:.2f}s")
 
     times = []
     for _ in range(3):
@@ -100,7 +102,7 @@ def bench_msm(log2n: int):
         t_batch = time.time() - t0
         log(f"MSM batch x4 2^{log2n}: {t_batch:.3f}s "
             f"({4 * n / t_batch / 1e6:.2f} M points/s amortized)")
-    return n / t_msm, t_msm, t_crs, t_batch, res
+    return n / t_msm, t_msm, t_crs, t_batch, t_warmup, res
 
 
 def bench_sumcheck_round(log2n: int):
@@ -387,9 +389,19 @@ def main():
     extra = _RESULT["extra"]
 
     # ---- headline FIRST: everything after this is gravy ----
-    pts_per_sec, t_msm, t_crs, t_batch, _ = bench_msm(log2n)
+    pts_per_sec, t_msm, t_crs, t_batch, t_warmup, _ = bench_msm(log2n)
     extra["msm_sec_2^%d" % log2n] = round(t_msm, 4)
     extra["crs_gen_sec"] = round(t_crs, 2)
+    # cold-cost honesty: was the c=16 shifted basis generated (260-490 s
+    # per 2^20 CRS) or served from disk, and what did this process pay in
+    # warmup (compiles + AOT loads + basis build) before the warm headline?
+    extra["msm_warmup_sec"] = round(t_warmup, 2)
+    try:
+        from quill_tpu.ec.msm6 import CACHE_STATS
+
+        extra["basis_cache"] = dict(CACHE_STATS)
+    except Exception:
+        pass
     if t_batch is not None:
         extra["msm_batch4_sec_2^%d" % log2n] = round(t_batch, 4)
         extra["msm_batch4_pts_per_sec"] = round(4 * (1 << log2n) / t_batch, 1)

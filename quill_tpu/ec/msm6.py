@@ -55,6 +55,13 @@ carry digit 0, and any digit-0 element has coefficient 0 in the
 telescoped sum, so zero scalars, identity basis points (substituted by
 the generator) and power-of-two chunk padding are all algebraically
 invisible.  Verified against the host oracle by `scripts/check_msm6.py`.
+
+This file holds the HOST side of v6 (digit extraction, shifted-basis
+generation + disk cache, the global sort/gather, the driver and routing).
+Every `aot_wrap`-ed device kernel lives in `ec/msm6k.py`, whose EC_KDEPS
+deliberately excludes this file: edits to the host glue here must never
+invalidate the multi-minute MSM AOT export family
+(`tests/test_aot_key_hygiene.py` pins this property).
 """
 
 from __future__ import annotations
@@ -69,18 +76,22 @@ configure_jax()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from ..fields import device8 as f8  # noqa: E402
 from ..fields import pallas8 as p8  # noqa: E402
 from ..fields.bn254 import P  # noqa: E402
-from ..utils.aotcache import aot_wrap  # noqa: E402
 from . import msm as msm12  # noqa: E402
 from . import msm5  # noqa: E402
-
-EC_KDEPS = ('ec/device.py', 'ec/fixed_base.py', 'ec/msm.py', 'ec/msm5.py',
-            'ec/msm6.py', 'ec/msm8.py', 'fields', 'utils/jaxcfg.py')
+from . import msm6k as k6  # noqa: E402
+# compat re-exports: profiling/check scripts address the whole v6 family
+# through this module
+from .msm6k import (  # noqa: E402,F401
+    EC_KDEPS, _BLK, _MIN_H, _brev_bits, _coarse_prefix_fn, _ident_cols,
+    _k_coarse, _k_qinit, _k_qstep, _k_qstep0, _k_qstep_pair, _k_reduce_tail,
+    _k_reduce_wide, _lvl0_kernel, _lvl_call, _lvl_kernel, _qinit_fn,
+    _qstep0_fn, _qstep_fn, _qstep_pair_fn, _reduce_cols, _reduce_tail_fn,
+    _reduce_wide_fn, _xadd,
+)
 
 L = f8.L
 L2 = 2 * L
@@ -88,12 +99,9 @@ L3 = 3 * L
 CHUNK = msm12.CHUNK
 LOG2_CHUNK = msm12.LOG2_CHUNK
 
-WBITS = 16
-W = 16
-NBUCK = 1 << WBITS
-
-_BLK = 1024      # lanes per level-kernel grid step
-_MIN_H = 1024    # smallest Pallas level; coarser nodes go to the ladder
+WBITS = k6.WBITS
+W = k6.W
+NBUCK = k6.NBUCK
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +138,7 @@ def _k_digits16_all(sc_stack, inf_stack):
 
 
 # ---------------------------------------------------------------------------
-# shifted basis: per-chunk (2L, W*CHUNK) bf16 affine, 2^{16w} P_i
+# shifted basis: per-chunk (2L, W*CHUNK) uint8 affine, 2^{16w} P_i
 # ---------------------------------------------------------------------------
 
 
@@ -188,6 +196,12 @@ def _shift_doubling16(root, j: int) -> jnp.ndarray:
                            axis=1)
 
 
+# basis disk-cache observability (read by bench.py: the "warm" headline is
+# only auditable if the JSON says whether the ~260-490 s per-CRS basis
+# generation was paid or served from disk)
+CACHE_STATS = {"hit": 0, "miss": 0}
+
+
 def _b6_cache_path(tau: int, j: int):
     """Disk-cache path for one uint8 affine shifted chunk.  Deterministic
     in (tau, j) and the window geometry; follows the same env contract as
@@ -210,6 +224,37 @@ def _b6_cache_path(tau: int, j: int):
     return Path(base) / f"b6u8_{tag}.npy"
 
 
+def _b6_cache_load(path):
+    """np.load that tolerates a truncated/corrupt cache file: delete it and
+    fall through to regeneration instead of crashing the prove."""
+    try:
+        return jnp.asarray(np.load(path))
+    except Exception:
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
+
+
+def _b6_cache_store(path, out):
+    """Atomic store with a per-writer tmp name: a fixed shared tmp path
+    lets two concurrent processes interleave writes and rename a
+    partially-written file into place."""
+    import os
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp.npy")
+    try:
+        np.save(tmp, np.asarray(out))
+        tmp.replace(path)
+    except OSError:
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
+
+
 def _gen_affine16(root, j: int) -> jnp.ndarray:
     """(2L, W*CHUNK) uint8 affine shifted chunk (tau CRS: fixed-base).
 
@@ -226,7 +271,11 @@ def _gen_affine16(root, j: int) -> jnp.ndarray:
         return _shift_doubling16(root, j)
     path = _b6_cache_path(tau, j)
     if path is not None and path.exists():
-        return jnp.asarray(np.load(path))
+        cached = _b6_cache_load(path)
+        if cached is not None:
+            CACHE_STATS["hit"] += 1
+            return cached
+    CACHE_STATS["miss"] += 1
     pw_mont = getattr(root, "_b3_pw_mont", None)
     if pw_mont is None:
         powers = [1] * CHUNK
@@ -250,16 +299,13 @@ def _gen_affine16(root, j: int) -> jnp.ndarray:
     out = jnp.concatenate([_k_affpair_to_u8(x, y) for x, y in norm],
                           axis=1)
     if path is not None:
-        path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp.npy")
-        np.save(tmp, np.asarray(out))
-        tmp.replace(path)
+        _b6_cache_store(path, out)
     return out
 
 
 def shifted_basis16(basis: msm12.DeviceBasis, nch: int | None = None
                     ) -> jnp.ndarray:
-    """ONE flat (2L, W*CHUNK*nch) bf16 affine shifted basis covering the
+    """ONE flat (2L, W*CHUNK*nch) uint8 affine shifted basis covering the
     first `nch` CRS chunks, cached on the root.  The cache holds only the
     concatenated array (per-chunk parts are freed as they land), and a
     wider cached array serves narrower MSMs directly -- `_msm_one` clamps
@@ -311,7 +357,7 @@ def _bitrev_perm(v: jnp.ndarray, m: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _k_sort_gather(keys, base_flat, m: int, fl_real: int):
-    """keys (2^m,) int32; base_flat (2L, >= fl_real) bf16 -> (sorted keys,
+    """keys (2^m,) int32; base_flat (2L, >= fl_real) uint8 -> (sorted keys,
     sorted-order perm, leaves (2L, 2^m) bf16 in bitrev-physical order).
     perm is kept for the leaf-level Fenwick queries (the 2.2 GB leaf array
     itself is freed right after level 0)."""
@@ -326,71 +372,6 @@ def _k_sort_gather(keys, base_flat, m: int, fl_real: int):
     return sorted_k, perm, base_flat[:, pphys].astype(jnp.bfloat16)
 
 
-# ---------------------------------------------------------------------------
-# up-sweep level kernels (bf16 at rest, block-contiguous halves)
-# ---------------------------------------------------------------------------
-
-
-def _lvl0_kernel(modulus, c_ref, a_ref, b_ref, o_ref):
-    """Affine leaf pairs: (2L, blk) bf16 x2 -> (3L, blk) bf16 normal."""
-    spec = p8.unpack_spec(modulus, c_ref[:])
-    n = a_ref.shape[-1]
-    s2 = (n // 128, 128)
-    av = a_ref[:].astype(jnp.float32).reshape((L2,) + s2)
-    bv = b_ref[:].astype(jnp.float32).reshape((L2,) + s2)
-    out = msm5.emit_pt_add_aff((av[:L], av[L:]), (bv[:L], bv[L:]), spec)
-    o = jnp.concatenate([f8.normal_form(v) for v in out], axis=0)
-    o_ref[:] = o.reshape(L3, n).astype(jnp.bfloat16)
-
-
-def _lvl_kernel(modulus, c_ref, a_ref, b_ref, o_ref):
-    """Projective pairs: (3L, blk) bf16 x2 -> (3L, blk) bf16 normal."""
-    spec = p8.unpack_spec(modulus, c_ref[:])
-    n = a_ref.shape[-1]
-    s2 = (n // 128, 128)
-    av = a_ref[:].astype(jnp.float32).reshape((L3,) + s2)
-    bv = b_ref[:].astype(jnp.float32).reshape((L3,) + s2)
-    out = p8.emit_pt_add((av[:L], av[L:L2], av[L2:]),
-                         (bv[:L], bv[L:L2], bv[L2:]), spec)
-    o = jnp.concatenate([f8.normal_form(v) for v in out], axis=0)
-    o_ref[:] = o.reshape(L3, n).astype(jnp.bfloat16)
-
-
-@functools.lru_cache(maxsize=None)
-def _lvl_call(h: int, affine: bool):
-    """One tree level: in (rows_in, 2h) bf16 -> out (3L, h) bf16, pairing
-    column c with column c + h (the bitrev layout's adjacent sorted pair).
-    The input array is passed TWICE with index maps selecting the low and
-    high halves, so reads stay block-contiguous."""
-    rows_in = L2 if affine else L3
-    blk = min(_BLK, h)
-    grid = (h // blk,)
-    kern = _lvl0_kernel if affine else _lvl_kernel
-    pack = p8.consts_pack(f8.FQ8.modulus)
-    lo_spec = pl.BlockSpec((rows_in, blk), lambda i: (0, i),
-                           memory_space=pltpu.VMEM)
-    nblk = h // blk
-    hi_spec = pl.BlockSpec((rows_in, blk), lambda i: (0, i + nblk),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((L3, blk), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
-    def run(x):
-        return pl.pallas_call(
-            functools.partial(kern, f8.FQ8.modulus),
-            out_shape=jax.ShapeDtypeStruct((L3, h), jnp.bfloat16),
-            grid=grid,
-            in_specs=[pl.BlockSpec((p8._PACK_ROWS, L), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      lo_spec, hi_spec],
-            out_specs=out_spec,
-            interpret=p8._interpret(),
-        )(pack, x, x)
-
-    return aot_wrap(f"msm6.lvl{'0' if affine else ''}.{h}", run,
-                    deps=EC_KDEPS)
-
-
 def _up_sweep(leaves: jnp.ndarray) -> list:
     """bf16 (2L, FL) leaves -> [None, level1, ..., levelK] with levelK of
     width _MIN_H; level k has width FL >> k.  The leaf array (2.2 GB at
@@ -398,177 +379,13 @@ def _up_sweep(leaves: jnp.ndarray) -> list:
     flat basis through the kept perm (`_qstep0_fn`), so it frees as soon
     as level 1 lands (the caller must drop its own reference)."""
     levels = [None]
-    x = _lvl_call(leaves.shape[-1] // 2, True)(leaves)
+    x = k6._lvl_call(leaves.shape[-1] // 2, True)(leaves)
     del leaves
     levels.append(x)
     while x.shape[-1] > _MIN_H and x.shape[-1] > 1:
-        x = _lvl_call(x.shape[-1] // 2, False)(x)
+        x = k6._lvl_call(x.shape[-1] // 2, False)(x)
         levels.append(x)
     return levels
-
-
-# ---------------------------------------------------------------------------
-# coarse prefix ladder + Fenwick queries
-# ---------------------------------------------------------------------------
-
-
-def _ident_cols(n: int) -> jnp.ndarray:
-    one = f8.FQ8.one_mont
-    z = jnp.zeros((L, n), jnp.float32)
-    o = jnp.stack([jnp.full((n,), float(one[i]), jnp.float32)
-                   for i in range(L)], axis=0)
-    return jnp.concatenate([z, o, z], axis=0)
-
-
-def _xadd(a, b):
-    out = p8.emit_pt_add((a[:L], a[L:L2], a[L2:]),
-                         (b[:L], b[L:L2], b[L2:]), f8.FQ8)
-    return jnp.concatenate(out, axis=0)
-
-
-def _coarse_prefix_fn(top_bf16, brev_idx):
-    """Sorted-order inclusive point prefix over the top level's nodes:
-    re-order the bitrev-physical nodes to sorted order (static-size
-    gather on a small array), then a Hillis-Steele ladder."""
-    v = top_bf16[:, brev_idx].astype(jnp.float32)
-    n = v.shape[-1]
-    idx = jax.lax.iota(jnp.int32, n)
-    ident = _ident_cols(n)
-    sh = 1
-    while sh < n:
-        shifted = jnp.concatenate([ident[:, :sh], v[:, :-sh]], axis=1)
-        comb = _xadd(v, shifted)
-        v = jnp.where((idx >= sh)[None, :], comb, v)
-        sh *= 2
-    return v
-
-
-@functools.lru_cache(maxsize=None)
-def _k_coarse(n: int):
-    return aot_wrap(f"msm6.coarse{n}", _coarse_prefix_fn, deps=EC_KDEPS)
-
-
-def _brev_bits(x: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """Vectorized bit reversal of `bits`-wide ints."""
-    out = jnp.zeros_like(x)
-    for k in range(bits):
-        out = out | (((x >> k) & 1) << (bits - 1 - k))
-    return out
-
-
-# The Fenwick evaluation runs as ONE DISPATCH PER LEVEL with a carried
-# (acc, offset) state: a single fused program would inline kmin (~14)
-# point-add bodies, the exact shape that OOM-killed the remote compile
-# helper in round 3 (BASELINE.md v5 counter-finding c).  One add site per
-# program keeps every module small; the ~15 dispatches pipeline.
-
-
-def _qinit_fn(sorted_k, coarse, kmin: int):
-    """Per-bucket counts + the coarse part of every prefix.
-    Returns (acc (3L, NBUCK-1) f32, offset (NBUCK-1,) i32, cnt)."""
-    nq = NBUCK - 1
-    buckets = jax.lax.iota(jnp.int32, nq)
-    cnt = jnp.searchsorted(sorted_k, buckets, side="right").astype(jnp.int32)
-    q = cnt >> kmin
-    acc = jnp.where((q > 0)[None, :],
-                    coarse[:, jnp.maximum(q - 1, 0)], _ident_cols(nq))
-    offset = q << kmin
-    return acc, offset, cnt
-
-
-@functools.lru_cache(maxsize=None)
-def _k_qinit(kmin: int):
-    fn = functools.partial(_qinit_fn, kmin=kmin)
-    return aot_wrap(f"msm6.qinit{kmin}", fn, deps=EC_KDEPS)
-
-
-def _qstep_fn(acc, offset, cnt, level, k: int, mk: int):
-    """One Fenwick level: if bit k of the count remains, add the level-k
-    node starting at the running offset.  level is bf16, bitrev-physical;
-    the k=0 level is the AFFINE leaf array (z=1 appended here)."""
-    has = ((cnt >> k) & 1) == 1
-    s = offset >> k                        # sorted-order node index
-    c = _brev_bits(s, mk)                  # physical column
-    # cast to the accumulator dtype (f32 in production; keeps the integer
-    # mock algebra of tests/test_msm6_structure.py exact)
-    node = level[:, jnp.minimum(c, (1 << mk) - 1)].astype(acc.dtype)
-    if level.shape[0] == L2:
-        one = f8.FQ8.one_mont
-        ones = jnp.stack([jnp.full(node.shape[1:], float(one[i]),
-                                   acc.dtype) for i in range(L)], axis=0)
-        node = jnp.concatenate([node, ones], axis=0)
-    acc = jnp.where(has[None, :], _xadd(acc, node), acc)
-    offset = offset + (has.astype(jnp.int32) << k)
-    return acc, offset
-
-
-@functools.lru_cache(maxsize=None)
-def _k_qstep(k: int, mk: int):
-    fn = functools.partial(_qstep_fn, k=k, mk=mk)
-    return aot_wrap(f"msm6.qstep{k}.{mk}", fn, deps=EC_KDEPS)
-
-
-def _qstep0_fn(acc, offset, cnt, perm, base_flat, m: int):
-    """The k=0 Fenwick level WITHOUT the leaf array: the leaf at sorted
-    position p is base_flat[:, perm[p]] (affine; z = 1 appended)."""
-    has = (cnt & 1) == 1
-    p = jnp.minimum(offset, (1 << m) - 1)
-    node = base_flat[:, perm[p]].astype(acc.dtype)
-    if base_flat.shape[0] == L2:       # affine coords (skipped by the
-        one = f8.FQ8.one_mont          # integer-mock structure tests)
-        ones = jnp.stack([jnp.full(node.shape[1:], float(one[i]), acc.dtype)
-                          for i in range(L)], axis=0)
-        node = jnp.concatenate([node, ones], axis=0)
-    return jnp.where(has[None, :], _xadd(acc, node), acc)
-
-
-@functools.lru_cache(maxsize=None)
-def _k_qstep0(m: int):
-    fn = functools.partial(_qstep0_fn, m=m)
-    return aot_wrap(f"msm6.qstep0.{m}", fn, deps=EC_KDEPS)
-
-
-def _qstep_pair_fn(acc, offset, cnt, lev_hi, lev_lo, k: int, mk: int):
-    """Two consecutive Fenwick levels (k, k-1) per dispatch: the 15-step
-    chain was dispatch-overhead-bound (~13 ms/step standalone)."""
-    acc, offset = _qstep_fn(acc, offset, cnt, lev_hi, k, mk)
-    return _qstep_fn(acc, offset, cnt, lev_lo, k - 1, mk + 1)
-
-
-@functools.lru_cache(maxsize=None)
-def _k_qstep_pair(k: int, mk: int):
-    fn = functools.partial(_qstep_pair_fn, k=k, mk=mk)
-    return aot_wrap(f"msm6.qpair{k}.{mk}", fn, deps=EC_KDEPS)
-
-
-# halving reduction in TWO dispatches: 3 wide halving sites (covering 7/8
-# of the adds) + a 13-site tail on <= 8192 columns (the 16-dispatch chain
-# measured 81 ms, almost all per-dispatch overhead)
-def _reduce_wide_fn(acc):
-    for _ in range(3):
-        h = acc.shape[-1] // 2
-        acc = _xadd(acc[:, :h], acc[:, h:])
-    return acc
-
-
-_k_reduce_wide = aot_wrap("msm6.redwide", _reduce_wide_fn, deps=EC_KDEPS)
-
-
-def _reduce_tail_fn(acc):
-    while acc.shape[-1] > 1:
-        h = acc.shape[-1] // 2
-        acc = _xadd(acc[:, :h], acc[:, h:])
-    return acc
-
-
-_k_reduce_tail = aot_wrap("msm6.redtail", _reduce_tail_fn, deps=EC_KDEPS)
-
-
-def _reduce_cols(acc: jnp.ndarray) -> jnp.ndarray:
-    """(3L, n) f32 -> (3L, 1), n a power of two."""
-    while acc.shape[-1] > 8192:
-        acc = _k_reduce_wide(acc)
-    return _k_reduce_tail(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -576,11 +393,15 @@ def _reduce_cols(acc: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _finalize_host(s_col, t_col):
-    """result = (NBUCK-1) * T - S on the host (one 16-bit scalar mul)."""
+def _finalize_host(s_col, t_col, mult: int | None = None):
+    """result = mult * T - S on the host (one 16-bit scalar mul).
+    mult defaults to the v6 telescoping factor NBUCK - 1; the signed v7
+    passes NBUCK7 (`ec/msm7.py`)."""
     from ..fields.scalar import inv as sinv
     from . import curve
 
+    if mult is None:
+        mult = NBUCK - 1
     cols = jnp.concatenate([s_col, t_col], axis=1)         # (3L, 2)
     from . import msm3
 
@@ -596,7 +417,7 @@ def _finalize_host(s_col, t_col):
         return curve.Jacobian(curve.Fq(x * zi % P), curve.Fq(y * zi % P),
                               curve.Fq(1))
 
-    return to_jac(1).scalar_mul(NBUCK - 1).add(to_jac(0).neg())
+    return to_jac(1).scalar_mul(mult).add(to_jac(0).neg())
 
 
 def _msm_one(base_flat: jnp.ndarray, scalar_chunks: list,
@@ -618,21 +439,21 @@ def _msm_one(base_flat: jnp.ndarray, scalar_chunks: list,
     kmin = len(levels) - 1                                  # top level index
     top = levels[kmin]
     brev_idx = jnp.asarray(_brev_half(m - kmin))
-    coarse = _k_coarse(top.shape[-1])(top, brev_idx)
-    acc, offset, cnt = _k_qinit(kmin)(sorted_k, coarse)
+    coarse = k6._k_coarse(top.shape[-1])(top, brev_idx)
+    acc, offset, cnt = k6._k_qinit(kmin)(sorted_k, coarse)
     k = kmin - 1
     while k >= 2:
-        acc, offset = _k_qstep_pair(k, m - k)(acc, offset, cnt,
-                                              levels[k], levels[k - 1])
+        acc, offset = k6._k_qstep_pair(k, m - k)(acc, offset, cnt,
+                                                 levels[k], levels[k - 1])
         k -= 2
     if k == 1:
-        acc, offset = _k_qstep(1, m - 1)(acc, offset, cnt, levels[1])
-    acc = _k_qstep0(m)(acc, offset, cnt, perm, base_flat)
+        acc, offset = k6._k_qstep(1, m - 1)(acc, offset, cnt, levels[1])
+    acc = k6._k_qstep0(m)(acc, offset, cnt, perm, base_flat)
     del levels
     # pad the (NBUCK-1)-wide query results to a power of two with one
     # identity column for the halving reduction
-    acc = jnp.concatenate([acc, _ident_cols(1)], axis=1)
-    s_col = _reduce_cols(acc)
+    acc = jnp.concatenate([acc, k6._ident_cols(1)], axis=1)
+    s_col = k6._reduce_cols(acc)
     return _finalize_host(s_col, coarse[:, -1:])
 
 

@@ -112,6 +112,19 @@ def verify(proof: InnerProductProof, comm1: curve.Jacobian, comm2: curve.Jacobia
     r = transcript.draw_field_element()
     r_inv = inv(r, R)
 
+    import os
+
+    if os.environ.get("QUILL_STRICT_VERIFY"):
+        # the reference accepts openings at any x (`ipa.rs:160-203` never
+        # compares the opening points to the transcript draw); strict
+        # mode pins them to r / 1/r
+        if (proof.f_opening.x != r or proof.g_opening.x != r
+                or proof.s_opening.x != r
+                or proof.f_opening_inv.x != r_inv
+                or proof.g_opening_inv.x != r_inv
+                or proof.s_opening_inv.x != r_inv):
+            return False
+
     return (proof.f_opening.y * proof.g_opening_inv.y
             + proof.f_opening_inv.y * proof.g_opening.y) % R == (
         r * proof.s_opening.y + r_inv * proof.s_opening_inv.y

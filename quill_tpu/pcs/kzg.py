@@ -185,7 +185,23 @@ class KZG:
         (`engine/quotient.py`: 2*nch fused dispatches + one host sync for
         the whole batch, vs per-chunk syncs per opening), then ALL quotient
         commitments as one fused multi-MSM (engine.msm_many).  Proof
-        objects are byte-identical to sequential `open` calls."""
+        objects are byte-identical to sequential `open` calls.
+
+        Residency: the fused path holds every quotient vector (one per
+        job) until the multi-MSM lands.  Above QUILL_KZG_OPEN_SPLIT
+        elements (default 2^22) the batch runs in sub-groups of 4 jobs so
+        at most 4 full-size quotients are ever in flight (the 2^23-cell
+        scale-campaign ceiling); sub-grouping is output-invisible."""
+        import os
+
+        n = len(polys_xs)
+        thr = int(os.environ.get("QUILL_KZG_OPEN_SPLIT", str(1 << 22)))
+        if n > 4 and any(self.engine.vec_len(p) >= thr
+                         for p, _ in polys_xs):
+            out = []
+            for i in range(0, n, 4):
+                out.extend(self.open_many(polys_xs[i:i + 4]))
+            return out
         from ..utils.profiling import phase
 
         ys, qs = [], []

@@ -130,6 +130,13 @@ class MultilinearPCS:
 
         engine = self.engine
         pr_cache: dict = {}
+        # free each eq table at its LAST use, not after the whole item
+        # loop: with distinct points the old clear-at-end held one
+        # full-size eq table per item alongside every S-poly
+        uses: dict = {}
+        for _, point in items:
+            key = tuple(x % R for x in point)
+            uses[key] = uses.get(key, 0) + 1
 
         def pr_for(point):
             key = tuple(x % R for x in point)
@@ -145,11 +152,16 @@ class MultilinearPCS:
                 evals.append(engine.inner(poly, pr))
             with phase("mlpcs/s_poly"):
                 s_polys.append(compute_s_polynomial(engine, poly, pr))
+            key = tuple(x % R for x in point)
+            uses[key] -= 1
+            if uses[key] == 0:
+                del pr_cache[key]
+            del pr
         pr_cache.clear()
         with phase("mlpcs/s_commit"):
             s_comms = self.kzg.commit_many(s_polys)
 
-        jobs, rs = [], []
+        jobs = []
         for (poly, point), evaluation, s_comm, s_poly in zip(
                 items, evals, s_comms, s_polys):
             transcript.append_field_vec(point)
@@ -157,7 +169,6 @@ class MultilinearPCS:
             transcript.append_g1(s_comm)
             r = transcript.draw_field_element()
             r_inv = inv(r, R)
-            rs.append((r, r_inv))
             jobs.extend([(poly, r), (poly, r_inv), (s_poly, r),
                          (s_poly, r_inv)])
 
@@ -190,6 +201,18 @@ class MultilinearPCS:
         r_inv = inv(r, R)
 
         import os
+
+        if os.environ.get("QUILL_STRICT_VERIFY"):
+            # The reference never checks the openings' claimed x against
+            # the transcript draw (`/root/reference/pcs/src/mlpcs.rs:
+            # 142-149`), so the pairing checks accept openings at ANY
+            # point; default mode keeps that compat, strict mode pins
+            # x to r / 1/r.
+            if (proof.poly_opening.x != r
+                    or proof.poly_opening_inv.x != r_inv
+                    or proof.s_opening.x != r
+                    or proof.s_opening_inv.x != r_inv):
+                return False
 
         checks = {
             "poly@r": self.kzg.verify_opening(commitment, proof.poly_opening),

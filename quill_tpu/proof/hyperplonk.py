@@ -422,11 +422,18 @@ class HyperPlonk:
 def _open_grouped(pcs, items: list, transcript) -> list:
     """Run `pcs.open_many` over `items` in memory-bounded groups.
 
-    Each in-flight open holds a full-size S-polynomial, so the group size
-    caps peak HBM: default 8 opens per group up to 2^20-element polys,
-    2 above (the 2^23-cell scale campaign ceiling); QUILL_OPEN_BATCH
-    overrides.  Group boundaries are transcript-invisible (the fused
-    pipeline is byte-identical to sequential opens)."""
+    Peak residency per group of bs opens (all full-size n-vectors): bs
+    S-polynomials live for the whole group, plus at most ONE eq table
+    during the S-poly loop (freed at last use inside `mlpcs.open_many`),
+    plus the quotient vectors of the KZG stage -- 4*bs in the fully fused
+    path, capped at 4 above 2^22 elements by `kzg.open_many`'s sub-group
+    split.  So: ~bs+4 full vectors at scale, ~5*bs below the split
+    (bs=8 at 2^20 = ~40 x 88 MB = 3.5 GB, fine beside the ~2-3 GB
+    resident bases on a 16 GB chip).  Defaults: 8 opens per group up to
+    2^20-element polys, 2 above (the 2^23-cell scale campaign ceiling);
+    QUILL_OPEN_BATCH overrides.  Group boundaries are
+    transcript-invisible (the fused pipeline is byte-identical to
+    sequential opens)."""
     import os
 
     if not items:

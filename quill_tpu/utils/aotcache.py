@@ -34,25 +34,36 @@ import jax.numpy as jnp
 _CODE_HASHES: dict = {}
 
 
+def _dep_paths(deps: tuple | None,
+               root: pathlib.Path | None = None) -> list:
+    """The source files a deps tuple covers (dirs expand recursively)."""
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parent.parent
+    if deps is None:
+        return sorted(root.rglob("*.py"))
+    paths = []
+    for d in deps:
+        p = root / d
+        if p.is_dir():
+            paths.extend(sorted(p.rglob("*.py")))
+        else:
+            paths.append(p)
+    return paths
+
+
+def _hash_paths(paths: list, root: pathlib.Path) -> str:
+    hs = hashlib.sha256(jax.__version__.encode())
+    for p in paths:
+        hs.update(str(p.relative_to(root)).encode())
+        hs.update(p.read_bytes())
+    return hs.hexdigest()[:16]
+
+
 def _code_hash(deps: tuple | None) -> str:
     h = _CODE_HASHES.get(deps)
     if h is None:
-        hs = hashlib.sha256(jax.__version__.encode())
         root = pathlib.Path(__file__).resolve().parent.parent
-        if deps is None:
-            paths = sorted(root.rglob("*.py"))
-        else:
-            paths = []
-            for d in deps:
-                p = root / d
-                if p.is_dir():
-                    paths.extend(sorted(p.rglob("*.py")))
-                else:
-                    paths.append(p)
-        for p in paths:
-            hs.update(str(p.relative_to(root)).encode())
-            hs.update(p.read_bytes())
-        h = hs.hexdigest()[:16]
+        h = _hash_paths(_dep_paths(deps, root), root)
         _CODE_HASHES[deps] = h
     return h
 

@@ -1,6 +1,6 @@
 """Structural test of the msm6 pipeline over the INTEGER mock algebra.
 
-Replaces only the point-arithmetic leaves of `ec/msm6.py` (`_xadd` -> int32
+Replaces only the point-arithmetic leaves of `ec/msm6k.py` (`_xadd` -> int32
 add, `_ident_cols` -> zeros, the Pallas level kernels -> pairwise adds, the
 host finalize -> modular integers); every index computation runs for real:
 c=16 digit extraction, the global sort, the bitrev perm re-index, the
@@ -8,6 +8,11 @@ block-contiguous level pairing, the coarse ladder reorder, the Fenwick
 query decomposition and the telescoped combine.  The result must equal the
 directly-computed sum_i digit_i * v_i mod 2^32 -- any off-by-one in any
 index path breaks it.  Runs on CPU in seconds.
+
+One production leaf IS bypassed: `_k_sort_gather`'s bf16 cast of the
+gathered leaves.  bf16 is exact only for the production uint8 basis
+(integers <= 255); the mock's 11-bit values would round.  The mock
+re-runs the real sort + `_bitrev_perm` logic and skips only the cast.
 """
 
 from __future__ import annotations
@@ -17,9 +22,10 @@ import pytest
 
 np.seterr(over="ignore")
 
+import jax
 import jax.numpy as jnp
 
-from quill_tpu.ec import msm6
+from quill_tpu.ec import msm6, msm6k
 from quill_tpu.fields.bn254 import R
 from quill_tpu.fields.limbs import ints_to_limbs
 
@@ -31,19 +37,30 @@ MASK = (1 << 32) - 1
 
 @pytest.fixture()
 def int_world(monkeypatch):
-    monkeypatch.setattr(msm6, "_xadd", lambda a, b: a + b)
-    monkeypatch.setattr(msm6, "_ident_cols",
+    monkeypatch.setattr(msm6k, "_xadd", lambda a, b: a + b)
+    monkeypatch.setattr(msm6k, "_ident_cols",
                         lambda n: jnp.zeros((1, n), jnp.int32))
-    monkeypatch.setattr(msm6, "_lvl_call",
+    monkeypatch.setattr(msm6k, "_lvl_call",
                         lambda h, affine: lambda x: x[:, :h] + x[:, h:])
     monkeypatch.setattr(
-        msm6, "_reduce_cols",
+        msm6k, "_reduce_cols",
         lambda acc: jnp.sum(acc, axis=-1, keepdims=True,
                             dtype=jnp.int32))
     monkeypatch.setattr(
-        msm6, "_k_coarse",
+        msm6k, "_k_coarse",
         lambda n: lambda top, brev_idx: jnp.cumsum(
             top[:, brev_idx], axis=-1, dtype=jnp.int32))
+
+    def sort_gather(keys, base_flat, m, fl_real):
+        # real sort + bitrev re-index; only the production bf16 leaf cast
+        # (exact for uint8 limbs, lossy for the 11-bit mock) is skipped
+        iota = jax.lax.iota(jnp.int32, keys.shape[0])
+        sorted_k, perm = jax.lax.sort_key_val(keys, iota)
+        perm = jnp.minimum(perm, fl_real - 1)
+        pphys = msm6._bitrev_perm(perm, m)
+        return sorted_k, perm, base_flat[:, pphys]
+
+    monkeypatch.setattr(msm6, "_k_sort_gather", sort_gather)
 
     def finalize(s_col, t_col):
         s = int(np.asarray(s_col)[0, 0]) & MASK
@@ -53,11 +70,16 @@ def int_world(monkeypatch):
     monkeypatch.setattr(msm6, "_finalize_host", finalize)
     # _k_qinit/_k_qstep run the REAL jnp logic over the mocked algebra;
     # their lru_caches may hold real-world traces from other tests
-    msm6._k_qinit.cache_clear()
-    msm6._k_qstep.cache_clear()
-    msm6._k_qstep_pair.cache_clear()
-    msm6._k_qstep0.cache_clear()
-    msm6._k_coarse if hasattr(msm6._k_coarse, "cache_clear") else None
+    msm6k._k_qinit.cache_clear()
+    msm6k._k_qstep.cache_clear()
+    msm6k._k_qstep_pair.cache_clear()
+    msm6k._k_qstep0.cache_clear()
+    yield
+    # drop the mock-algebra traces so later real-world tests retrace
+    msm6k._k_qinit.cache_clear()
+    msm6k._k_qstep.cache_clear()
+    msm6k._k_qstep_pair.cache_clear()
+    msm6k._k_qstep0.cache_clear()
 
 
 def _scalar_chunks(vals):

@@ -212,3 +212,69 @@ class TestMLPCS:
         assert t_seq.state == t_bat.state
         for a, b in zip(seq, bat):
             assert a == b
+
+
+class TestStrictVerify:
+    """QUILL_STRICT_VERIFY pins opening points to the transcript draw.
+
+    The reference never compares an opening's claimed x against the drawn
+    r (`/root/reference/pcs/src/mlpcs.rs:142-149`, `ipa.rs:160-203`): the
+    pairing equation uses proof.x, so a VALID opening at any adversarial
+    point passes it, and only the y-algebra ties the proof to r.  Default
+    mode keeps reference compat; strict mode must reject.  The pairing
+    check is stubbed to isolate the differential (a tampered x with a
+    consistent pairing is exactly the adversarial shape)."""
+
+    def test_mlpcs_strict_rejects_wrong_x(self, monkeypatch):
+        rng = random.Random(11)
+        num_vars = 3
+        poly = ENGINE.vec_from_ints(
+            [rng.randrange(R) for _ in range(1 << num_vars)])
+        pcs = MultilinearPCS(setup(1 << num_vars))
+        commitment = pcs.commit(poly)
+        point = [rng.randrange(R) for _ in range(num_vars)]
+        t = Transcript(b"strict")
+        proof = pcs.open(poly, point, t)
+
+        # honest proof passes in strict mode
+        monkeypatch.setenv("QUILL_STRICT_VERIFY", "1")
+        assert pcs.verify(commitment, proof, Transcript(b"strict"))
+
+        tampered = dataclasses.replace(
+            proof, poly_opening=dataclasses.replace(
+                proof.poly_opening, x=(proof.poly_opening.x + 1) % R))
+        # simulate a pairing-consistent opening at the adversarial x
+        monkeypatch.setattr(pcs.kzg, "verify_opening",
+                            lambda *a, **k: True)
+        monkeypatch.delenv("QUILL_STRICT_VERIFY")
+        assert pcs.verify(commitment, tampered, Transcript(b"strict"))
+        monkeypatch.setenv("QUILL_STRICT_VERIFY", "1")
+        assert not pcs.verify(commitment, tampered, Transcript(b"strict"))
+
+    def test_ipa_strict_rejects_wrong_x(self, monkeypatch):
+        kzg = setup(8)
+        poly1 = ENGINE.vec_from_ints([1, 2, 3, 4])
+        poly2 = ENGINE.vec_from_ints([5, 6, 7, 8])
+        comm1, comm2 = kzg.commit(poly1), kzg.commit(poly2)
+        t = Transcript(b"strict-ipa")
+        t.append_g1(comm1)
+        t.append_g1(comm2)
+        proof = ipa.prove(ENGINE, poly1, poly2, kzg, t)
+
+        def vt():
+            out = Transcript(b"strict-ipa")
+            out.append_g1(comm1)
+            out.append_g1(comm2)
+            return out
+
+        monkeypatch.setenv("QUILL_STRICT_VERIFY", "1")
+        assert ipa.verify(proof, comm1, comm2, kzg, vt())
+
+        tampered = dataclasses.replace(
+            proof, s_opening_inv=dataclasses.replace(
+                proof.s_opening_inv, x=(proof.s_opening_inv.x + 1) % R))
+        monkeypatch.setattr(kzg, "verify_opening", lambda *a, **k: True)
+        monkeypatch.delenv("QUILL_STRICT_VERIFY")
+        assert ipa.verify(tampered, comm1, comm2, kzg, vt())
+        monkeypatch.setenv("QUILL_STRICT_VERIFY", "1")
+        assert not ipa.verify(tampered, comm1, comm2, kzg, vt())
