@@ -936,27 +936,29 @@ class TpuEngine:
         import os
 
         impl = os.environ.get("QUILL_MSM_IMPL", "6")
-        # v6 holds basis + leaves + all tree levels resident (~15 GB at
-        # 2^21 points); its shift cap defaults one notch lower
-        default_limit = 1 << 20 if impl == "6" else 1 << 21
+        # v6/v7 hold basis + leaves + all tree levels resident (~15 GB at
+        # 2^21 points); their shift cap defaults one notch lower
+        default_limit = 1 << 20 if impl in ("6", "7") else 1 << 21
         limit = int(os.environ.get("QUILL_MSM_SHIFT_MAX",
                                    str(default_limit)))
         nch = len(getattr(basis, "x_chunks", ()) or ())
-        if impl in ("3", "5", "6") and nch * CHUNK > limit:
+        if impl in ("3", "5", "6", "7") and nch * CHUNK > limit:
             return "8"
-        # v6's fixed cost (65 k bucket queries + reduce, ~0.3 s) loses to
+        # v6/v7's fixed cost (32-65 k bucket queries + reduce) loses to
         # v5's per-chunk pipeline below ~3 chunks (round-4 bench: KZG/IPA
         # small-MSM configs regressed under v6-only routing); the v5
         # shifted-basis cache this keeps alive is bounded by the 2-chunk cap
         small = int(os.environ.get("QUILL_MSM_SMALL_CHUNKS", "2"))
-        if impl == "6" and 0 < nch <= small:
+        if impl in ("6", "7") and 0 < nch <= small:
             return "5"
         return impl
 
     def msm(self, basis, scalars):
         from ..ec import curve
         impl = self._msm_impl(basis)
-        if impl == "6":
+        if impl == "7":
+            from ..ec import msm7 as msm_mod
+        elif impl == "6":
             from ..ec import msm6 as msm_mod
         elif impl == "5":
             from ..ec import msm5 as msm_mod
@@ -1010,9 +1012,11 @@ class TpuEngine:
         widest_b = max((b for b, _ in jobs),
                        key=lambda b: len(getattr(b, "x_chunks", ()) or ()))
         impl = self._msm_impl(widest_b)
-        if impl not in ("3", "5", "6"):
+        if impl not in ("3", "5", "6", "7"):
             return fallback()
-        if impl == "6":
+        if impl == "7":
+            from ..ec import msm7 as msm_mod
+        elif impl == "6":
             from ..ec import msm6 as msm_mod
         elif impl == "5":
             from ..ec import msm5 as msm_mod

@@ -168,11 +168,46 @@ class ShardedEngine:
         return SVec(arr=arr, length=n)
 
     def reverse(self, v):
-        # structural op on possibly-padded storage: exact host round-trip
-        # (ShardedEngine's univariate tails are host-side by design)
         if not isinstance(v, SVec):
             return self.host.reverse(v)
-        return self._promote(self.host.reverse(self._demote(v)))
+        # device logical reverse (one replicate + local gather + reshard;
+        # the S-polynomial flow's rev() must not round-trip the host --
+        # VERDICT round-4 item 5).  Memory: one replicated copy per
+        # device, fine at every size the sharded prover shards.
+        return SVec(arr=self._jit_reverse(v.length)(v.arr),
+                    length=v.length)
+
+    @lru_cache(maxsize=None)
+    def _jit_reverse(self, length: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P(None, None))
+
+        def f(x):
+            n = x.shape[-1]
+            rep = jax.sharding.reshard(x, repl)
+            idx = jnp.clip(length - 1 - jax.lax.iota(jnp.int32, n), 0,
+                           n - 1)
+            out = jnp.where((jax.lax.iota(jnp.int32, n) < length)[None, :],
+                            rep[:, idx], 0)
+            return jax.sharding.reshard(out, self._sh)
+        return jax.jit(f, out_shardings=self._sh)
+
+    @lru_cache(maxsize=None)
+    def _jit_shift_slice(self, start: int, count: int, phys: int):
+        """w[i] = v[start + i] for i < count, 0 beyond: replicate + static
+        slice + pad + reshard (arbitrary-offset windows of sharded vectors
+        without the host round-trip)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P(None, None))
+
+        def f(x):
+            rep = jax.sharding.reshard(x, repl)
+            win = jax.lax.slice_in_dim(rep, start, start + count, axis=1)
+            out = jnp.pad(win, ((0, 0), (0, phys - count)))
+            return jax.sharding.reshard(out, self._sh)
+        return jax.jit(f, out_shardings=self._sh)
 
     def slice(self, v, start: int, stop: int):
         if not isinstance(v, SVec):
@@ -185,6 +220,12 @@ class ShardedEngine:
             # prefixes of power-of-two tables): stays on device -- GSPMD
             # rebalances over ICI instead of riding the host link
             return SVec(arr=self._jit_prefix(stop)(v.arr), length=stop)
+        count = stop - start
+        if count >= self.min_device_size and stop <= v.arr.shape[-1]:
+            # arbitrary window (the S-polynomial's h[max_len:] suffix)
+            phys = count + ((-count) % self.ndev)
+            return SVec(arr=self._jit_shift_slice(start, count, phys)(
+                v.arr), length=count)
         host = self.host.slice(self._demote(v), start, stop)
         if stop - start < self.min_device_size:
             return host
@@ -341,10 +382,18 @@ class ShardedEngine:
         """Sharded scan as a TWO-LEVEL block scan: local Hillis-Steele
         ladders along the per-shard axis (slices on an unsharded dim are
         always legal under explicit sharding), one reshard of the ndev
-        block totals to replicated, a tiny unrolled cross-block combine,
-        and a broadcast combine back onto the sharded blocks -- the
-        textbook distributed scan, with ONE collective instead of log(n)
-        halo exchanges.  Combine bodies are trace-once jitted fd ops."""
+        block totals to replicated, a tiny cross-block combine, and a
+        broadcast combine back onto the sharded blocks -- the textbook
+        distributed scan, with ONE collective instead of log(n) halo
+        exchanges.
+
+        Compile-cost discipline (the round-4 dryrun regression): the
+        ladder rolls as a `fori_loop` whose shift is a dynamic `jnp.roll`
+        on the UNSHARDED per-shard axis, and the cross-block offsets roll
+        as a `lax.scan` -- TWO combine-body call sites per program instead
+        of log2(k) + ndev unrolled copies (XLA compile time scales with
+        call sites x the 22-limb mont_mul body; BASELINE.md round-2/3
+        findings)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if op == "mul":
@@ -361,34 +410,40 @@ class ShardedEngine:
             k = n // ndev
             v = self._reshape_blocks(x, ndev, k)     # (L, ndev, k)
             ident3 = jnp.asarray(ident_np)[:, :, None]  # (L, 1, 1)
-
-            def shifted_by(v, sh):
-                pad = jnp.broadcast_to(ident3, (L, ndev, sh)).astype(v.dtype)
-                if suffix:
-                    return jnp.concatenate([v[..., sh:], pad], axis=-1)
-                return jnp.concatenate([pad, v[..., :-sh]], axis=-1)
-
             idx = jax.lax.iota(jnp.int32, k)
-            sh = 1
-            while sh < k:
+
+            def rolled(v, sh):
+                # roll along the per-shard (unsharded) axis; wrapped-in
+                # columns are masked by the caller, identity elsewhere
+                return jnp.roll(v, -sh if suffix else sh, axis=-1)
+
+            def step(_, carry):
+                v, sh = carry
                 keep = (idx < k - sh) if suffix else (idx >= sh)
-                v = jnp.where(keep[None, None, :], comb(v, shifted_by(v, sh)),
-                              v)
-                sh *= 2
+                v = jnp.where(keep[None, None, :], comb(v, rolled(v, sh)), v)
+                return v, sh * 2
+
+            nsteps = max(0, (k - 1).bit_length())
+            v, _ = jax.lax.fori_loop(0, nsteps, step,
+                                     (v, jnp.int32(1)))
             # per-block totals, replicated
             tot = v[..., :1] if suffix else v[..., -1:]
             tot = jax.sharding.reshard(tot, repl)    # (L, ndev, 1)
-            # exclusive cross-block offsets (static ndev-step loop)
-            offs = [jnp.broadcast_to(ident3[:, 0], (L, 1)).astype(v.dtype)]
-            order = range(ndev - 1, 0, -1) if suffix else range(ndev - 1)
-            for b in order:
-                offs.append(comb(offs[-1], tot[:, b]))
-            if suffix:
-                offs = offs[::-1]
-            off3 = jnp.stack(offs, axis=1)           # (L, ndev, 1) replicated
+            # exclusive cross-block offsets: scan over the block axis
+            ident2 = jnp.broadcast_to(ident3[:, 0], (L, 1)).astype(v.dtype)
+
+            def scan_step(acc, t):
+                nxt = comb(acc, t)
+                return nxt, acc
+            ts = jnp.moveaxis(tot, 1, 0)             # (ndev, L, 1)
+            _, offs = jax.lax.scan(scan_step, ident2, ts, reverse=suffix)
+            off3 = jnp.moveaxis(offs, 0, 1)          # (L, ndev, 1) replicated
             off3 = jax.sharding.reshard(off3, self._psb())
             if exclusive:
-                v = shifted_by(v, 1)
+                keep1 = (idx < k - 1) if suffix else (idx >= 1)
+                v = jnp.where(keep1[None, None, :], rolled(v, 1),
+                              jnp.broadcast_to(ident3, v.shape).astype(
+                                  v.dtype))
             out = comb(v, jnp.broadcast_to(off3, v.shape))
             return jax.lax.reshape(out, (L, n), out_sharding=self._sh)
 
@@ -635,25 +690,132 @@ class ShardedEngine:
         return self.host.poly_eval(coeffs, x)
 
     def poly_mul(self, a, b):
+        """NTT product ON THE MESH (the sharded 4-step transform,
+        `parallel/ntt.py`) when both operands can shard; exact host
+        Kronecker product otherwise.  Results are bit-identical either
+        way (exact field arithmetic throughout)."""
         dev = isinstance(a, SVec) or isinstance(b, SVec)
-        a = self.vec_to_ints(a) if isinstance(a, SVec) else a
-        b = self.vec_to_ints(b) if isinstance(b, SVec) else b
-        out = self.host.poly_mul(a, b)
+        la = self.vec_len(a)
+        lb = self.vec_len(b)
+        out_len = la + lb - 1
+        n = 1
+        while n < out_len:
+            n *= 2
+        # the 4-step views (n1, n2), both multiples of ndev -> n >= ndev^2
+        if dev and n >= max(self.ndev * self.ndev,
+                            2 * self.min_device_size):
+            pa = self.pad(self._promote(a), n)
+            pb = self.pad(self._promote(b), n)
+            fa = self._ntt4(pa.arr, n)
+            fb = self._ntt4(pb.arr, n)
+            prod = self._jit_binop("mul")(fa, fb)
+            del fa, fb
+            out = self._intt4(prod, n)
+            return SVec(arr=out, length=out_len)
+        ah = self.vec_to_ints(a) if isinstance(a, SVec) else a
+        bh = self.vec_to_ints(b) if isinstance(b, SVec) else b
+        out = self.host.poly_mul(ah, bh)
         return self._promote(out) if dev else out
+
+    # ---- sharded 4-step NTT (parallel/ntt.py) -------------------------------
+
+    def _split12(self, n: int):
+        """n = n1 * n2, both multiples of ndev, n2 as large as allowed
+        (local transforms run on the unsharded n2 axis; n1 stays small so
+        the transposed view reshards cleanly)."""
+        log2n = n.bit_length() - 1
+        log2d = self.ndev.bit_length() - 1
+        log2_n1 = max(log2d, log2n - 16)
+        if log2n - log2_n1 < log2d:
+            log2_n1 = log2n - log2d
+        return log2_n1, log2n - log2_n1
+
+    @lru_cache(maxsize=None)
+    def _twiddle_dev(self, log2_n1: int, log2_n2: int, inverse: bool):
+        from . import ntt as sntt
+
+        t_np = sntt._step_table(log2_n1, log2_n2, inverse)
+        if inverse:
+            # the inverse applies its step twiddle in the (n1@x, n2)
+            # layout ([brev(k1), j2]); the forward in (n2@x, n1)
+            t_np = np.ascontiguousarray(np.transpose(t_np, (0, 2, 1)))
+        t_step = jax.device_put(jnp.asarray(t_np), self._psb())
+        tw1 = jnp.asarray(sntt._flat_twiddles(log2_n1, inverse))
+        tw2 = jnp.asarray(sntt._flat_twiddles(log2_n2, inverse))
+        return t_step, tw1, tw2
+
+    @lru_cache(maxsize=None)
+    def _jit_ntt4(self, log2_n1: int, log2_n2: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from . import ntt as sntt
+
+        sh_t = NamedSharding(self.mesh, P(None, "x", None))
+
+        def f(x, t_step, tw1, tw2):
+            n1, n2 = 1 << log2_n1, 1 << log2_n2
+            v = jax.lax.reshape(x, (L, n1, n2), out_sharding=self._psb())
+            v = jax.sharding.reshard(jnp.transpose(v, (0, 2, 1)), sh_t)
+            v = sntt._local_dif(v, log2_n1, tw1)       # (L, n2@x, n1)
+            v = fd.mont_mul(v, t_step, SPEC)
+            v = jax.sharding.reshard(jnp.transpose(v, (0, 2, 1)), sh_t)
+            v = sntt._local_dif(v, log2_n2, tw2)       # (L, n1@x, n2)
+            return jax.lax.reshape(v, (L, n1 * n2), out_sharding=self._sh)
+        return jax.jit(f, out_shardings=self._sh)
+
+    @lru_cache(maxsize=None)
+    def _jit_intt4(self, log2_n1: int, log2_n2: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from . import ntt as sntt
+        from ..fields.bn254 import R as _R
+
+        sh_t = NamedSharding(self.mesh, P(None, "x", None))
+        n_inv = pow(1 << (log2_n1 + log2_n2), _R - 2, _R)
+        c_inv = _mont_const(n_inv)
+
+        def f(x, t_step, tw1, tw2):
+            n1, n2 = 1 << log2_n1, 1 << log2_n2
+            v = jax.lax.reshape(x, (L, n1, n2), out_sharding=self._psb())
+            v = sntt._local_dit_inv(v, log2_n2, tw2)   # k2 -> j2
+            v = fd.mont_mul(v, t_step, SPEC)           # w^{-brev(k1) j2}
+            v = jax.sharding.reshard(jnp.transpose(v, (0, 2, 1)), sh_t)
+            v = sntt._local_dit_inv(v, log2_n1, tw1)   # k1 -> j1
+            v = jax.sharding.reshard(jnp.transpose(v, (0, 2, 1)), sh_t)
+            v = fd.mont_mul(v, jnp.broadcast_to(
+                jnp.asarray(c_inv)[:, :, None], v.shape), SPEC)
+            return jax.lax.reshape(v, (L, n1 * n2), out_sharding=self._sh)
+        return jax.jit(f, out_shardings=self._sh)
+
+    def _ntt4(self, arr, n: int):
+        log2_n1, log2_n2 = self._split12(n)
+        t_step, tw1, tw2 = self._twiddle_dev(log2_n1, log2_n2, False)
+        return self._jit_ntt4(log2_n1, log2_n2)(arr, t_step, tw1, tw2)
+
+    def _intt4(self, arr, n: int):
+        log2_n1, log2_n2 = self._split12(n)
+        t_step, tw1, tw2 = self._twiddle_dev(log2_n1, log2_n2, True)
+        return self._jit_intt4(log2_n1, log2_n2)(arr, t_step, tw1, tw2)
 
     @lru_cache(maxsize=None)
     def _jit_powtable(self, log2n: int):
+        """powtable[j] = x^j via binary decomposition of j.  Rolled as a
+        fori_loop with ONE mont_mul site (was log2n unrolled sites: the
+        22-limb body made each new shape a multi-second XLA:CPU compile,
+        part of the round-4 dryrun regression)."""
         def f(pow_stack):
             n = 1 << log2n
             idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
             acc = jnp.broadcast_to(
                 jnp.asarray(SPEC.one_mont, jnp.int32)[:, None],
                 (L, n)).astype(jnp.int32)
-            for k in range(log2n):
-                mult = fd.mont_mul(
-                    acc, jnp.broadcast_to(pow_stack[k], acc.shape), SPEC)
-                acc = jnp.where(((idx >> k) & 1).astype(bool), mult, acc)
-            return acc
+
+            def step(k, acc):
+                p_k = jax.lax.dynamic_index_in_dim(pow_stack, k, axis=0,
+                                                   keepdims=False)
+                mult = fd.mont_mul(acc, jnp.broadcast_to(p_k, acc.shape),
+                                   SPEC)
+                return jnp.where(((idx >> k) & 1).astype(bool), mult, acc)
+
+            return jax.lax.fori_loop(0, log2n, step, acc)
         return jax.jit(f, out_shardings=self._sh)
 
     def _powtable_sharded(self, x: int, n: int):
