@@ -12,6 +12,9 @@
 # Usage:  LOG2=21 bash scripts/prove_scale.sh   (default 21)
 set -u
 cd "$(dirname "$0")/.."
+# plain `python` on PATH may be a bare interpreter without numpy
+# (CLAUDE.md round-5 landmine); prefer the project venv
+PY="${QUILL_PYTHON:-$([ -x /opt/venv/bin/python ] && echo /opt/venv/bin/python || echo python)}"
 LOG2="${LOG2:-21}"
 LOG="${QUILL_SCALE_LOG:-/tmp/prove_scale_${LOG2}.log}"
 echo "scale prove 2^${LOG2} rows -> $LOG"
@@ -22,4 +25,4 @@ QUILL_OPEN_BATCH=2 \
 QUILL_PROVE_LOG2_ROWS="$LOG2" \
 QUILL_PROOF_OUT="/tmp/quill_proof_${LOG2}.bin" \
 PYTHONPATH=.:/root/.axon_site \
-timeout "${QUILL_SCALE_TIMEOUT:-5400}" python scripts/prove_tpu.py 2>&1 | tee "$LOG"
+timeout "${QUILL_SCALE_TIMEOUT:-5400}" "$PY" scripts/prove_tpu.py 2>&1 | tee "$LOG"
