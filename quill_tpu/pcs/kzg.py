@@ -196,11 +196,12 @@ class KZG:
 
         n = len(polys_xs)
         thr = int(os.environ.get("QUILL_KZG_OPEN_SPLIT", str(1 << 22)))
-        if n > 4 and any(self.engine.vec_len(p) >= thr
-                         for p, _ in polys_xs):
+        grp = max(1, int(os.environ.get("QUILL_KZG_OPEN_GROUP", "4")))
+        if n > grp and any(self.engine.vec_len(p) >= thr
+                           for p, _ in polys_xs):
             out = []
-            for i in range(0, n, 4):
-                out.extend(self.open_many(polys_xs[i:i + 4]))
+            for i in range(0, n, grp):
+                out.extend(self.open_many(polys_xs[i:i + grp]))
             return out
         from ..utils.profiling import phase
 

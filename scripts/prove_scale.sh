@@ -21,7 +21,8 @@ echo "scale prove 2^${LOG2} rows -> $LOG"
 QUILL_BASIS8_DROP12=1 \
 QUILL_MSM_SHIFT_MAX=$((1 << 20)) \
 QUILL_SC8_MAX_LOG2=20 \
-QUILL_OPEN_BATCH=2 \
+QUILL_OPEN_BATCH="${QUILL_OPEN_BATCH:-1}" \
+QUILL_KZG_OPEN_GROUP="${QUILL_KZG_OPEN_GROUP:-2}" \
 QUILL_PROVE_LOG2_ROWS="$LOG2" \
 QUILL_PROOF_OUT="/tmp/quill_proof_${LOG2}.bin" \
 PYTHONPATH=.:/root/.axon_site \
