@@ -46,7 +46,7 @@ def bench_msm(log2n: int):
     from quill_tpu.ec.fixed_base import device_tau_powers
     from quill_tpu.fields.bn254 import R
 
-    impl = os.environ.get("QUILL_MSM_IMPL", "6")
+    impl = os.environ.get("QUILL_MSM_IMPL", "7")
     if impl == "7":
         from quill_tpu.ec import msm7 as msm_run
     elif impl == "6":

@@ -935,7 +935,7 @@ class TpuEngine:
         (msm8) regardless of the configured impl."""
         import os
 
-        impl = os.environ.get("QUILL_MSM_IMPL", "6")
+        impl = os.environ.get("QUILL_MSM_IMPL", "7")
         # v6/v7 hold basis + leaves + all tree levels resident (~15 GB at
         # 2^21 points); their shift cap defaults one notch lower
         default_limit = 1 << 20 if impl in ("6", "7") else 1 << 21

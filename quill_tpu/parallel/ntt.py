@@ -72,6 +72,9 @@ def _flat_twiddles(log2m: int, inverse: bool) -> np.ndarray:
     j carries w_s^{j mod bh} in its block's b-half and 1 elsewhere, so the
     rolled stage body needs no per-stage reshapes."""
     m = 1 << log2m
+    if log2m == 0:
+        # length-1 transform: no stages (the ndev=1 mesh's n1=1 split)
+        return np.zeros((0, L, 1), np.int32)
     w = _root_of_unity(log2m)
     if inverse:
         w = pow(w, R - 2, R)
@@ -117,6 +120,8 @@ def _local_dif(x: jnp.ndarray, log2m: int, tw: jnp.ndarray) -> jnp.ndarray:
     """Radix-2 DIF over the LAST (unsharded) axis of (..., m): natural
     order in, bit-reversed out.  One rolled stage body (dynamic roll +
     bit select); tw = _flat_twiddles(log2m, ...) as a runtime arg."""
+    if log2m == 0:
+        return x
     m = x.shape[-1]
     idx = jax.lax.iota(jnp.int32, m)
 
@@ -139,6 +144,8 @@ def _local_dit_inv(x: jnp.ndarray, log2m: int,
                    tw_inv: jnp.ndarray) -> jnp.ndarray:
     """Exact inverse of `_local_dif` up to the 1/m factor (folded into the
     caller's single 1/N scale): bit-reversed in, natural out."""
+    if log2m == 0:
+        return x
     m = x.shape[-1]
     idx = jax.lax.iota(jnp.int32, m)
 

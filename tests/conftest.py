@@ -20,6 +20,13 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# Never WRITE the persistent compilation cache from the suite: serializing
+# the giant interpret-mode Pallas executables (sc8.round) segfaults the
+# process on this host (jax compilation_cache.put_executable_and_time,
+# reproduced twice at tests/test_sumcheck8.py).  Reads still hit warm
+# entries; within-process compile cost is unchanged.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                      "1000000")
 
 import pytest  # noqa: E402
 

@@ -72,3 +72,16 @@ def test_s_polynomial_flow_stays_on_mesh(eng, monkeypatch):
     want = ipa.s_polynomial_generic(HOST, HOST.vec_from_ints(f),
                                     HOST.vec_from_ints(g))
     assert _ints(s, eng) == [int(x) for x in want]
+
+
+def test_sharded_poly_mul_single_device():
+    """ndev=1 regression: the 4-step split degenerates to n1=1 (no
+    stages in the first local transform) -- crashed with empty twiddle
+    stacks before the log2m==0 guards."""
+    eng1 = ShardedEngine(mesh_mod.make_mesh(1), min_device_size=16)
+    rng = random.Random(21)
+    a = [rng.randrange(R) for _ in range(64)]
+    b = [rng.randrange(R) for _ in range(64)]
+    out = eng1.poly_mul(eng1.vec_from_ints(a), eng1.vec_from_ints(b))
+    want = HOST.poly_mul(HOST.vec_from_ints(a), HOST.vec_from_ints(b))
+    assert _ints(out, eng1) == [int(x) for x in want]

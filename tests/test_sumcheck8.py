@@ -15,7 +15,23 @@ from quill_tpu.utils.jaxcfg import configure_jax
 
 configure_jax()
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_memory():
+    """Drop every executable the suite compiled so far before building the
+    giant interpret-mode sc8 programs: with the full suite's accumulated
+    XLA:CPU executables resident, compiling/running these segfaulted the
+    process (reproduced twice at ~86%; standalone runs pass).  Everything
+    alphabetically after this module is host-only, so nothing re-pays."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+    yield
+
 
 from quill_tpu.engine import sumcheck8 as sc8  # noqa: E402
 from quill_tpu.engine.host import HostEngine  # noqa: E402
