@@ -52,6 +52,10 @@ def main():
     for ndev in (1, 2, 4, 8):
         if ndev > len(jax.devices()):
             break
+        # drop the previous mesh's executables: accumulating them blows
+        # LLVM's "Cannot allocate memory" mid-ndev=2 on the 2-core host
+        # (same single-process exhaustion as the test_sumcheck8 segfault)
+        jax.clear_caches()
         mesh = mesh_mod.make_mesh(ndev)
         eng = ShardedEngine(mesh)
         pcs = MultilinearPCS(cached_trusted_setup(eng, max_degree))
